@@ -1,0 +1,185 @@
+"""Voxel indexing + fixed-capacity open-addressed voxel-hash table.
+
+This is the single device-side spatial structure replacing the reference's
+``pcl::VoxelGrid`` buckets, ``pclomp::VoxelGridCovariance`` leaves and all
+kd-trees (SURVEY.md section 7.1). Pointer-chasing trees do not map to the
+TPU; a static-shape hash table turns every spatial query into a handful of
+vectorized gathers.
+
+Two building blocks:
+
+* **sorted segment grouping** — exact per-voxel reductions via a single
+  ``lax.sort`` with two int32 lexicographic keys (TPU-native, no atomics);
+* **``VoxelHashTable``** — open addressing with linear probing, built by
+  data-parallel insertion rounds (scatter-min conflict resolution) inside a
+  ``lax.while_loop``; lookups are fully vectorized probe loops.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+INT32_MAX = jnp.iinfo(jnp.int32).max
+# Per-axis voxel coordinates (after min-subtraction) must fit in 15 bits so a
+# (key_a, key_b) int32 pair is collision-free: 32768 cells/axis, e.g. 3.2 km
+# at a 0.1 m leaf — far beyond any single registration window.
+COORD_BITS = 15
+COORD_MAX = (1 << COORD_BITS) - 1
+
+
+def voxel_coords(xyz: jnp.ndarray, inv_leaf: jnp.ndarray) -> jnp.ndarray:
+    """World position -> integer voxel coordinate, floor semantics.
+
+    Matches ``pcl::VoxelGrid`` binning (``static_cast<int>(floor(x/leaf))``),
+    call sites ``scanmatcher_component.cpp:324-328`` etc.
+    """
+    return jnp.floor(xyz * inv_leaf).astype(jnp.int32)
+
+
+def pack_keys(
+    coords: jnp.ndarray, valid: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Pack int voxel coords into two lexicographic int32 sort keys.
+
+    Coordinates are shifted by the per-call minimum so they are non-negative
+    and bounded by ``COORD_MAX``; invalid rows get ``INT32_MAX`` keys and sort
+    to the tail.
+    """
+    big = jnp.where(valid[..., None], coords, INT32_MAX)
+    cmin = jnp.min(big, axis=-2, keepdims=True)
+    cmin = jnp.where(cmin == INT32_MAX, 0, cmin)  # all-invalid guard
+    rel = jnp.clip(coords - cmin, 0, COORD_MAX)
+    key_a = (rel[..., 0] << COORD_BITS) | rel[..., 1]
+    key_b = rel[..., 2]
+    key_a = jnp.where(valid, key_a, INT32_MAX)
+    key_b = jnp.where(valid, key_b, INT32_MAX)
+    return key_a, key_b
+
+
+def segment_ids_from_sorted_keys(
+    key_a: jnp.ndarray, key_b: jnp.ndarray, valid: jnp.ndarray, capacity: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Contiguous segment ids for pre-sorted keys.
+
+    Returns ``(seg_ids, num_segments_used)``; invalid rows and voxels beyond
+    ``capacity`` land in the trash segment ``capacity``.
+    """
+    first = jnp.ones(key_a.shape[:1], dtype=bool).at[1:].set(False)
+    changed = first | (key_a != jnp.roll(key_a, 1)) | (key_b != jnp.roll(key_b, 1))
+    seg = jnp.cumsum(changed.astype(jnp.int32)) - 1
+    used = jnp.max(jnp.where(valid, seg, -1)) + 1
+    seg = jnp.where(valid & (seg < capacity), seg, capacity)
+    return seg, used
+
+
+def hash_coords(coords: jnp.ndarray, table_size: int) -> jnp.ndarray:
+    """Spatial hash (Teschner et al.) into ``[0, table_size)``; table_size
+    must be a power of two. int32 overflow wraps, which is fine for hashing."""
+    h = (
+        coords[..., 0] * jnp.int32(73856093)
+        ^ coords[..., 1] * jnp.int32(19349663)
+        ^ coords[..., 2] * jnp.int32(83492791)
+    )
+    return h & jnp.int32(table_size - 1)
+
+
+class VoxelHashTable(NamedTuple):
+    """Open-addressed map: voxel coord -> row index of a stats array.
+
+    ``slot_coords i32[H,3]`` (INT32_MAX = empty), ``slot_idx i32[H]`` (-1 =
+    empty). ``max_probes`` bounds every lookup's probe loop.
+    """
+
+    slot_coords: jnp.ndarray
+    slot_idx: jnp.ndarray
+    max_probes: jnp.ndarray  # i32 scalar: probes actually needed at build
+
+    @property
+    def size(self) -> int:
+        return self.slot_idx.shape[0]
+
+
+def build_hash_table(
+    coords: jnp.ndarray, valid: jnp.ndarray, table_size: int, max_rounds: int = 64
+) -> VoxelHashTable:
+    """Insert ``coords[V,3]`` (unique among valid rows) into an open-addressed
+    table of ``table_size`` slots (power of two, should be >= 2*V).
+
+    Parallel insertion: in round ``r`` every unplaced item targets slot
+    ``(h + r) mod H``; conflicts are resolved by scatter-min on the item
+    index ("lowest index wins"); losers retry next round. Deterministic and
+    fully vectorized — the while_loop usually exits after <= 4 rounds at load
+    factor 0.5.
+    """
+    V = coords.shape[0]
+    H = table_size
+    assert H & (H - 1) == 0, "table_size must be a power of two"
+    h0 = hash_coords(coords, H)
+    item_ids = jnp.arange(V, dtype=jnp.int32)
+
+    def cond(state):
+        r, placed, _, _ = state
+        return (r < max_rounds) & jnp.any(valid & ~placed)
+
+    def body(state):
+        r, placed, slot_coords, slot_idx = state
+        want = valid & ~placed
+        target = (h0 + r) & (H - 1)
+        empty = jnp.take(slot_idx, target, axis=0) == -1
+        can = want & empty
+        # conflict resolution: min item id per target slot
+        winner = jnp.full((H,), INT32_MAX, dtype=jnp.int32)
+        winner = winner.at[jnp.where(can, target, H)].min(
+            jnp.where(can, item_ids, INT32_MAX), mode="drop"
+        )
+        won = can & (jnp.take(winner, target, axis=0) == item_ids)
+        slot = jnp.where(won, target, H)  # H = dropped
+        slot_idx = slot_idx.at[slot].set(jnp.where(won, item_ids, -1), mode="drop")
+        slot_coords = slot_coords.at[slot].set(coords, mode="drop")
+        return r + 1, placed | won, slot_coords, slot_idx
+
+    init = (
+        jnp.int32(0),
+        jnp.zeros((V,), dtype=bool),
+        jnp.full((H, 3), INT32_MAX, dtype=jnp.int32),
+        jnp.full((H,), -1, dtype=jnp.int32),
+    )
+    rounds, placed, slot_coords, slot_idx = jax.lax.while_loop(cond, body, init)
+    return VoxelHashTable(slot_coords, slot_idx, rounds)
+
+
+def lookup_hash_table(table: VoxelHashTable, coords: jnp.ndarray) -> jnp.ndarray:
+    """Vectorized lookup: coords i32[..., 3] -> row index i32[...] (-1 miss).
+
+    Probes at most ``table.max_probes`` slots; the while_loop exits as soon as
+    every query hit a match or an empty slot.
+    """
+    H = table.size
+    h0 = hash_coords(coords, H)
+    out_shape = coords.shape[:-1]
+
+    def cond(state):
+        r, done, _ = state
+        return (r < table.max_probes) & ~jnp.all(done)
+
+    def body(state):
+        r, done, found = state
+        slot = (h0 + r) & (H - 1)
+        sc = jnp.take(table.slot_coords, slot, axis=0)
+        si = jnp.take(table.slot_idx, slot, axis=0)
+        hit = jnp.all(sc == coords, axis=-1) & (si >= 0)
+        empty = si == -1
+        found = jnp.where(~done & hit, si, found)
+        done = done | hit | empty
+        return r + 1, done, found
+
+    init = (
+        jnp.int32(0),
+        jnp.zeros(out_shape, dtype=bool),
+        jnp.full(out_shape, -1, dtype=jnp.int32),
+    )
+    _, _, found = jax.lax.while_loop(cond, body, init)
+    return found

@@ -1,0 +1,300 @@
+"""Registration solvers: jit-compiled LM/Gauss-Newton over SE(3).
+
+Mirrors the ``pcl::Registration`` contract the reference relies on
+(``align(output, guess)``, ``getFinalTransformation``, ``hasConverged``,
+``getFitnessScore`` — call sites ``scanmatcher_component.cpp:350-376``,
+``graph_based_slam_component.cpp:229-233``), re-designed for XLA: the whole
+iterate-until-converged loop is a single ``lax.while_loop`` inside one jit —
+zero host round-trips per iteration.
+
+Convergence matches the reference configuration semantics: stop when the
+SE(3) increment norm drops below ``transformation_epsilon`` (0.01 for the
+NDT frontend, 1e-8 for GICP — ``scanmatcher_component.cpp:108,119``) or at
+``max_iterations`` (PCL NDT default 35; backend sets 100).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core import se3
+from ..core.pointcloud import PointCloud
+from ..ops import gicp as gicp_ops
+from ..ops import ndt as ndt_ops
+from ..ops.nn import fitness_score
+from ..ops.voxelize import voxel_downsample
+
+
+class RegistrationResult(NamedTuple):
+    T: jnp.ndarray  # f32[4,4] final transformation
+    converged: jnp.ndarray  # bool
+    iterations: jnp.ndarray  # i32 — LM iterations actually run
+    score: jnp.ndarray  # f32 final objective value
+    fitness: jnp.ndarray  # f32 mean squared NN distance (PCL fitness)
+    n_corr: jnp.ndarray  # i32 correspondences at the final pose
+
+
+@dataclasses.dataclass(frozen=True)
+class NDTConfig:
+    """NDT tuning, defaults = the reference's frontend configuration."""
+
+    resolution: float = 5.0  # scanmatcher param ndt_resolution default
+    transformation_epsilon: float = 0.01
+    max_iterations: int = 35  # PCL NDT default (frontend never overrides)
+    outlier_ratio: float = 0.55
+    voxel_capacity: int = 16384  # padded target-leaf budget
+    min_points_per_voxel: int = 6
+    neighborhood: str = "DIRECT7"
+    # LM damping schedule
+    lambda_init: float = 1e-4
+    lambda_up: float = 10.0
+    lambda_down: float = 0.2
+    lambda_max: float = 1e4
+
+
+@dataclasses.dataclass(frozen=True)
+class GICPConfig:
+    """Voxelized plane-to-plane GICP, defaults = reference frontend
+    (``scanmatcher_component.cpp:115-120``: corr dist 5.0, epsilon 1e-8)."""
+
+    max_correspondence_distance: float = 5.0
+    transformation_epsilon: float = 1e-8
+    max_iterations: int = 64  # PCL GICP default max is 200 outer*inner; bounded here
+    voxel_resolution: float = 1.0  # distribution voxel size
+    voxel_capacity: int = 32768
+    min_points_per_voxel: int = 4
+    plane_epsilon: float = 1e-3  # GICP eigenvalue regularization (1,1,eps)
+    lambda_init: float = 1e-6
+    lambda_up: float = 10.0
+    lambda_down: float = 0.2
+    lambda_max: float = 1e4
+
+
+def _lm_loop(eval_terms, eval_score, guess, eps, max_iter, lam0, up, down, lam_max):
+    """Generic Levenberg-Marquardt over SE(3) with left perturbation.
+
+    ``eval_terms(T) -> (score, grad6, H66, n_corr)``; ``eval_score(T) -> f32``.
+    Runs entirely inside ``lax.while_loop``.
+    """
+
+    def cond(s):
+        return ~s["done"]
+
+    def body(s):
+        score, g, H, n_corr = eval_terms(s["T"])
+        # Levenberg damping scaled to the Hessian diagonal magnitude
+        scale = jnp.trace(H) / 6.0 + 1e-12
+        Hd = H + (s["lam"] * scale) * jnp.eye(6, dtype=H.dtype)
+        delta = -jnp.linalg.solve(Hd, g)
+        # guard against solver blow-ups on degenerate geometry
+        delta = jnp.where(jnp.all(jnp.isfinite(delta)), delta, jnp.zeros_like(delta))
+        T_new = se3.compose(se3.se3_exp(delta), s["T"])
+        new_score = eval_score(T_new)
+        improved = (new_score < score) & (n_corr > 0)
+        dn = jnp.linalg.norm(delta)
+        T = jnp.where(improved, T_new, s["T"])
+        lam = jnp.where(improved, s["lam"] * down, s["lam"] * up)
+        lam = jnp.clip(lam, 1e-10, lam_max * 10.0)
+        converged = improved & (dn < eps)
+        it = s["it"] + 1
+        done = converged | (it >= max_iter) | (lam > lam_max)
+        return dict(
+            T=T, lam=lam, it=it, done=done, converged=converged,
+            score=jnp.where(improved, new_score, score), n_corr=n_corr,
+        )
+
+    state = dict(
+        T=guess.astype(jnp.float32),
+        lam=jnp.float32(lam0),
+        it=jnp.int32(0),
+        done=jnp.bool_(False),
+        converged=jnp.bool_(False),
+        score=jnp.float32(jnp.inf),
+        n_corr=jnp.int32(0),
+    )
+    out = jax.lax.while_loop(cond, body, state)
+    return out["T"], out["converged"], out["it"], out["score"], out["n_corr"]
+
+
+# ---------------------------------------------------------------------------
+# NDT
+# ---------------------------------------------------------------------------
+
+class NDTTargetState(NamedTuple):
+    ndt: ndt_ops.NDTTarget
+    raw: PointCloud  # for fitness-score NN queries
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def ndt_build_target(cfg: NDTConfig, cloud: PointCloud) -> NDTTargetState:
+    ndt = ndt_ops.build_ndt_target(
+        cloud,
+        resolution=cfg.resolution,
+        voxel_capacity=cfg.voxel_capacity,
+        outlier_ratio=cfg.outlier_ratio,
+        min_points=cfg.min_points_per_voxel,
+    )
+    return NDTTargetState(ndt=ndt, raw=cloud)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def ndt_align(
+    cfg: NDTConfig,
+    target: NDTTargetState,
+    source: PointCloud,
+    guess: jnp.ndarray,
+) -> RegistrationResult:
+    offsets = (
+        ndt_ops.DIRECT7_OFFSETS
+        if cfg.neighborhood == "DIRECT7"
+        else ndt_ops.DIRECT1_OFFSETS
+    )
+    xyz, valid = source.xyz, source.valid
+
+    def eval_terms(T):
+        return ndt_ops.ndt_score_terms(target.ndt, xyz, valid, T, offsets)
+
+    def eval_score(T):
+        return ndt_ops.ndt_score_only(target.ndt, xyz, valid, T, offsets)
+
+    T, converged, it, score, n_corr = _lm_loop(
+        eval_terms,
+        eval_score,
+        guess,
+        cfg.transformation_epsilon,
+        cfg.max_iterations,
+        cfg.lambda_init,
+        cfg.lambda_up,
+        cfg.lambda_down,
+        cfg.lambda_max,
+    )
+    fit = fitness_score(
+        se3.transform_points(T, xyz), valid, target.raw.xyz, target.raw.valid
+    )
+    return RegistrationResult(T, converged, it, score, fit, n_corr)
+
+
+# ---------------------------------------------------------------------------
+# GICP (voxelized plane-to-plane)
+# ---------------------------------------------------------------------------
+
+class GICPTargetState(NamedTuple):
+    dist: gicp_ops.GICPTarget
+    raw: PointCloud
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def gicp_build_target(cfg: GICPConfig, cloud: PointCloud) -> GICPTargetState:
+    dist = gicp_ops.build_gicp_target(
+        cloud,
+        resolution=cfg.voxel_resolution,
+        voxel_capacity=cfg.voxel_capacity,
+        min_points=cfg.min_points_per_voxel,
+        plane_epsilon=cfg.plane_epsilon,
+    )
+    return GICPTargetState(dist=dist, raw=cloud)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def gicp_align(
+    cfg: GICPConfig,
+    target: GICPTargetState,
+    source: PointCloud,
+    source_cov: jnp.ndarray,
+    guess: jnp.ndarray,
+) -> RegistrationResult:
+    xyz, valid = source.xyz, source.valid
+    max_d2 = cfg.max_correspondence_distance ** 2
+
+    def eval_terms(T):
+        return gicp_ops.gicp_score_terms(target.dist, xyz, valid, source_cov, T, max_d2)
+
+    def eval_score(T):
+        return gicp_ops.gicp_score_only(target.dist, xyz, valid, source_cov, T, max_d2)
+
+    T, converged, it, score, n_corr = _lm_loop(
+        eval_terms,
+        eval_score,
+        guess,
+        cfg.transformation_epsilon,
+        cfg.max_iterations,
+        cfg.lambda_init,
+        cfg.lambda_up,
+        cfg.lambda_down,
+        cfg.lambda_max,
+    )
+    fit = fitness_score(
+        se3.transform_points(T, xyz), valid, target.raw.xyz, target.raw.valid
+    )
+    return RegistrationResult(T, converged, it, score, fit, n_corr)
+
+
+# ---------------------------------------------------------------------------
+# Host-side convenience wrapper mirroring pcl::Registration usage
+# ---------------------------------------------------------------------------
+
+class Registration:
+    """Stateful facade over the pure jitted solvers.
+
+    Usage parity with the reference's ``registration_`` handle
+    (``scanmatcher_component.h:93``): ``set_input_target`` then repeated
+    ``set_input_source`` + ``align(guess)``.
+    """
+
+    def __init__(self, method: str = "NDT", ndt: Optional[NDTConfig] = None,
+                 gicp: Optional[GICPConfig] = None):
+        if method not in ("NDT", "GICP"):
+            # reference exits on invalid method (scanmatcher_component.cpp:121-124)
+            raise ValueError(f"invalid registration method: {method}")
+        self.method = method
+        self.ndt_cfg = ndt or NDTConfig()
+        self.gicp_cfg = gicp or GICPConfig()
+        self._target = None
+        self._source = None
+        self._source_cov = None
+        self._result: Optional[RegistrationResult] = None
+
+    def set_input_target(self, cloud: PointCloud) -> None:
+        if self.method == "NDT":
+            self._target = ndt_build_target(self.ndt_cfg, cloud)
+        else:
+            self._target = gicp_build_target(self.gicp_cfg, cloud)
+
+    def set_input_source(self, cloud: PointCloud) -> None:
+        self._source = cloud
+        if self.method == "GICP":
+            self._source_cov = gicp_ops.source_covariances(
+                cloud,
+                resolution=self.gicp_cfg.voxel_resolution,
+                voxel_capacity=self.gicp_cfg.voxel_capacity,
+                min_points=self.gicp_cfg.min_points_per_voxel,
+                plane_epsilon=self.gicp_cfg.plane_epsilon,
+            )
+
+    def align(self, guess: jnp.ndarray | None = None) -> RegistrationResult:
+        if self._target is None or self._source is None:
+            raise RuntimeError("set_input_target/set_input_source first")
+        if guess is None:
+            guess = jnp.eye(4, dtype=jnp.float32)
+        if self.method == "NDT":
+            self._result = ndt_align(self.ndt_cfg, self._target, self._source, guess)
+        else:
+            self._result = gicp_align(
+                self.gicp_cfg, self._target, self._source, self._source_cov, guess
+            )
+        return self._result
+
+    # PCL-parity accessors
+    def get_final_transformation(self) -> jnp.ndarray:
+        return self._result.T
+
+    def has_converged(self) -> bool:
+        return bool(self._result.converged)
+
+    def get_fitness_score(self) -> float:
+        return float(self._result.fitness)

@@ -1,0 +1,160 @@
+"""Exact voxel-grid reductions: centroid downsampling and NDT voxel stats.
+
+TPU-native replacements for ``pcl::VoxelGrid`` (reference call sites
+``scanmatcher_component.cpp:266-269,324-328,443-447``,
+``graph_based_slam_component.cpp:61,224-227``) and for the per-leaf
+mean/covariance accumulation of ``pclomp::VoxelGridCovariance`` (included at
+``scanmatcher_component.h:64-65``; behavior contract SURVEY.md section 2.2 #9).
+
+Strategy: one lexicographic ``lax.sort`` groups points by voxel, then
+``segment_sum`` computes exact per-voxel moments into fixed-capacity padded
+outputs — no dynamic shapes, no atomics, deterministic.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.pointcloud import PAD_COORD, PointCloud
+from ..core.voxel import (
+    pack_keys,
+    segment_ids_from_sorted_keys,
+    voxel_coords,
+)
+
+
+def _sort_by_voxel(cloud: PointCloud, inv_leaf):
+    """Sort all per-point payloads by voxel key. Returns sorted payloads."""
+    coords = voxel_coords(cloud.xyz, inv_leaf)
+    key_a, key_b = pack_keys(coords, cloud.valid)
+    (key_a, key_b, x, y, z, inten, valid_i, cx, cy, cz) = jax.lax.sort(
+        (
+            key_a,
+            key_b,
+            cloud.xyz[:, 0],
+            cloud.xyz[:, 1],
+            cloud.xyz[:, 2],
+            cloud.intensity,
+            cloud.valid.astype(jnp.int32),
+            coords[:, 0],
+            coords[:, 1],
+            coords[:, 2],
+        ),
+        num_keys=2,
+    )
+    xyz = jnp.stack([x, y, z], axis=-1)
+    coords = jnp.stack([cx, cy, cz], axis=-1)
+    return key_a, key_b, xyz, inten, valid_i.astype(bool), coords
+
+
+def voxel_downsample(cloud: PointCloud, leaf_size, capacity: int) -> PointCloud:
+    """Centroid-per-occupied-voxel downsample, exact PCL semantics.
+
+    Output order is voxel-key order (a permutation of PCL's), padded to
+    ``capacity`` voxels. Intensity is averaged like the spatial coordinates
+    (PCL downsample_all_data semantics for XYZI).
+    """
+    inv_leaf = 1.0 / jnp.asarray(leaf_size, dtype=cloud.xyz.dtype)
+    key_a, key_b, xyz, inten, valid, _ = _sort_by_voxel(cloud, inv_leaf)
+    seg, _ = segment_ids_from_sorted_keys(key_a, key_b, valid, capacity)
+    nseg = capacity + 1  # last segment collects invalid/overflow rows
+    ones = valid.astype(xyz.dtype)
+    count = jax.ops.segment_sum(ones, seg, num_segments=nseg)[:capacity]
+    sums = jax.ops.segment_sum(xyz * ones[:, None], seg, num_segments=nseg)[:capacity]
+    isum = jax.ops.segment_sum(inten * ones, seg, num_segments=nseg)[:capacity]
+    occupied = count > 0
+    denom = jnp.maximum(count, 1.0)
+    centroid = jnp.where(occupied[:, None], sums / denom[:, None], PAD_COORD)
+    return PointCloud(
+        xyz=centroid,
+        intensity=jnp.where(occupied, isum / denom, 0.0),
+        valid=occupied,
+    )
+
+
+class VoxelStats(NamedTuple):
+    """Per-voxel Gaussian statistics (the NDT target model).
+
+    All arrays padded to a fixed voxel capacity V:
+      coords   i32[V, 3]  integer voxel coordinate (INT32_MAX when invalid)
+      mean     f32[V, 3]
+      cov      f32[V, 3, 3]  regularized covariance
+      inv_cov  f32[V, 3, 3]
+      count    f32[V]
+      valid    bool[V]   occupied AND count >= min_points
+    """
+
+    coords: jnp.ndarray
+    mean: jnp.ndarray
+    cov: jnp.ndarray
+    inv_cov: jnp.ndarray
+    count: jnp.ndarray
+    valid: jnp.ndarray
+
+
+def regularize_covariance(cov: jnp.ndarray, min_eig_ratio: float = 0.01):
+    """Inflate small eigenvalues to ``min_eig_ratio * lambda_max``.
+
+    Mirrors ``pclomp::VoxelGridCovariance`` conditioning so near-planar voxels
+    stay invertible. Returns (cov_reg, inv_cov_reg). Batched 3x3 eigh.
+    """
+    w, v = jnp.linalg.eigh(cov)
+    lam_max = w[..., 2:3]
+    floor = jnp.maximum(min_eig_ratio * lam_max, 1e-9)
+    w_reg = jnp.maximum(w, floor)
+    cov_reg = jnp.einsum("...ij,...j,...kj->...ik", v, w_reg, v)
+    inv_cov = jnp.einsum("...ij,...j,...kj->...ik", v, 1.0 / w_reg, v)
+    return cov_reg, inv_cov
+
+
+def voxel_stats(
+    cloud: PointCloud,
+    leaf_size,
+    capacity: int,
+    min_points: int = 6,
+    min_eig_ratio: float = 0.01,
+) -> VoxelStats:
+    """Mean + regularized covariance per occupied voxel.
+
+    Covariance follows the VoxelGridCovariance estimator: population moment
+    scaled by (n-1)/n, i.e. ``cov = (E[xx^T] - mu mu^T) * (n-1)/n``. Voxels
+    with fewer than ``min_points`` points are flagged invalid (PCL default 6).
+    """
+    inv_leaf = 1.0 / jnp.asarray(leaf_size, dtype=cloud.xyz.dtype)
+    key_a, key_b, xyz, _, valid, coords = _sort_by_voxel(cloud, inv_leaf)
+    seg, _ = segment_ids_from_sorted_keys(key_a, key_b, valid, capacity)
+    nseg = capacity + 1
+    ones = valid.astype(xyz.dtype)
+    count = jax.ops.segment_sum(ones, seg, num_segments=nseg)[:capacity]
+    sums = jax.ops.segment_sum(xyz * ones[:, None], seg, num_segments=nseg)[:capacity]
+    outer = xyz[:, :, None] * xyz[:, None, :] * ones[:, None, None]
+    outer_sum = jax.ops.segment_sum(outer, seg, num_segments=nseg)[:capacity]
+    # representative integer coordinate per segment (all rows agree; max is
+    # safe because invalid rows are routed to the trash segment)
+    coord_rep = jax.ops.segment_max(
+        jnp.where(valid[:, None], coords, jnp.iinfo(jnp.int32).min),
+        seg,
+        num_segments=nseg,
+    )[:capacity]
+
+    occupied = count >= float(min_points)
+    n = jnp.maximum(count, 1.0)
+    mean = sums / n[:, None]
+    cov_pop = outer_sum / n[:, None, None] - mean[:, :, None] * mean[:, None, :]
+    cov = cov_pop * ((n - 1.0) / n)[:, None, None]
+    # guard the eigensolver against empty voxels
+    safe_cov = jnp.where(occupied[:, None, None], cov, jnp.eye(3, dtype=cov.dtype))
+    cov_reg, inv_cov = regularize_covariance(safe_cov, min_eig_ratio)
+
+    int_max = jnp.iinfo(jnp.int32).max
+    return VoxelStats(
+        coords=jnp.where(occupied[:, None], coord_rep, int_max),
+        mean=jnp.where(occupied[:, None], mean, PAD_COORD),
+        cov=cov_reg,
+        inv_cov=jnp.where(occupied[:, None, None], inv_cov, 0.0),
+        count=count,
+        valid=occupied,
+    )

@@ -1,0 +1,134 @@
+"""Synthetic LiDAR worlds with exact ground truth — the test & bench data
+source (the reference validates only on rosbags + rviz eyeballs, SURVEY.md
+section 4; we need deterministic scenes with known SE(3) answers).
+
+Simulates a spinning multi-beam LiDAR (VLP-16/32-like) scanning a structured
+world of ground plane + walls + boxes via ray-marching onto implicit
+surfaces. Returns host numpy arrays; callers pad them into PointCloud.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class LidarModel:
+    """Beam geometry. Defaults approximate a VLP-32 (32 rings, 0.2 deg azi)."""
+
+    n_rings: int = 32
+    n_azimuth: int = 1800
+    vfov_lo_deg: float = -25.0
+    vfov_hi_deg: float = 15.0
+    max_range: float = 120.0
+
+
+VLP16 = LidarModel(n_rings=16, n_azimuth=900, vfov_lo_deg=-15.0, vfov_hi_deg=15.0)
+VLP32 = LidarModel()
+
+
+@dataclasses.dataclass
+class World:
+    """Axis-aligned boxes + ground plane, sized like a small urban block."""
+
+    extent: float = 80.0
+    n_boxes: int = 40
+    seed: int = 0
+
+    def __post_init__(self):
+        rng = np.random.default_rng(self.seed)
+        half = self.extent / 2
+        centers = rng.uniform(-half, half, size=(self.n_boxes, 2))
+        sizes = rng.uniform(1.5, 8.0, size=(self.n_boxes, 2))
+        heights = rng.uniform(2.0, 12.0, size=(self.n_boxes,))
+        # keep a clear corridor near the origin so trajectories stay collision-free
+        keep = np.linalg.norm(centers, axis=1) > 8.0
+        self.centers = centers[keep]
+        self.sizes = sizes[keep]
+        self.heights = heights[keep]
+
+    def sdf(self, p: np.ndarray) -> np.ndarray:
+        """Signed distance to the world surface for points p (N, 3)."""
+        d_ground = p[:, 2]  # plane z=0
+        d = d_ground
+        for c, s, h in zip(self.centers, self.sizes, self.heights):
+            q = np.abs(p[:, :2] - c) - s / 2
+            qz = np.abs(p[:, 2] - h / 2) - h / 2
+            q3 = np.stack([q[:, 0], q[:, 1], qz], axis=1)
+            outside = np.linalg.norm(np.maximum(q3, 0.0), axis=1)
+            inside = np.minimum(np.max(q3, axis=1), 0.0)
+            d = np.minimum(d, outside + inside)
+        return d
+
+
+def simulate_scan(
+    world: World,
+    pose: np.ndarray,
+    lidar: LidarModel = VLP32,
+    noise: float = 0.01,
+    seed: int = 0,
+    n_steps: int = 96,
+) -> np.ndarray:
+    """Ray-march one scan from a 4x4 sensor pose. Returns (M, 4) xyz+intensity
+    in the SENSOR frame, azimuth-ordered (column-major ring-fastest) so the
+    deskew azimuth-to-time mapping behaves like a real spinning unit."""
+    rng = np.random.default_rng(seed)
+    elev = np.deg2rad(
+        np.linspace(lidar.vfov_lo_deg, lidar.vfov_hi_deg, lidar.n_rings)
+    )
+    azi = np.linspace(-np.pi, np.pi, lidar.n_azimuth, endpoint=False)
+    E, A = np.meshgrid(elev, azi)  # (n_azimuth, n_rings): azimuth-major order
+    dirs = np.stack(
+        [np.cos(E) * np.cos(A), np.cos(E) * np.sin(A), np.sin(E)], axis=-1
+    ).reshape(-1, 3)
+
+    R, t = pose[:3, :3], pose[:3, 3]
+    dirs_w = dirs @ R.T
+    origin = t[None, :]
+
+    # sphere-traced march
+    dist = np.full(dirs_w.shape[0], 0.5)
+    alive = np.ones(dirs_w.shape[0], dtype=bool)
+    for _ in range(n_steps):
+        p = origin + dirs_w * dist[:, None]
+        sd = world.sdf(p)
+        hit = sd < 1e-3
+        dist = np.where(alive & ~hit, dist + np.maximum(sd, 1e-3), dist)
+        alive &= ~hit
+        alive &= dist < lidar.max_range
+        if not alive.any():
+            break
+    hit_mask = ~alive & (dist < lidar.max_range)
+    dist = dist + rng.normal(0.0, noise, size=dist.shape)
+    pts_world = origin + dirs_w * dist[:, None]
+    pts_sensor = (pts_world - t) @ R
+    inten = np.clip(1.0 / np.maximum(dist, 1.0), 0.0, 1.0).astype(np.float32)
+    out = np.concatenate([pts_sensor, inten[:, None]], axis=1).astype(np.float32)
+    return out[hit_mask]
+
+
+def circle_trajectory(n_poses: int, radius: float = 20.0, z: float = 1.5):
+    """Ground-truth loop trajectory (4x4 poses) that revisits its start —
+    exercises the backend's loop-closure path like the hdl_400 course."""
+    poses = []
+    for k in range(n_poses):
+        th = 2 * np.pi * k / n_poses
+        c, s = np.cos(th), np.sin(th)
+        heading = th + np.pi / 2
+        ch, sh = np.cos(heading), np.sin(heading)
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = np.array([[ch, -sh, 0], [sh, ch, 0], [0, 0, 1]], dtype=np.float32)
+        T[:3, 3] = np.array([radius * c, radius * s, z], dtype=np.float32)
+        poses.append(T)
+    return poses
+
+
+def line_trajectory(n_poses: int, step: float = 1.0, z: float = 1.5):
+    poses = []
+    for k in range(n_poses):
+        T = np.eye(4, dtype=np.float32)
+        T[:3, 3] = np.array([k * step, 0.0, z], dtype=np.float32)
+        poses.append(T)
+    return poses

@@ -1,0 +1,70 @@
+"""Voxelized plane-to-plane GICP: transform recovery + API parity."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from lidarslam_ros2_tpu.core import se3
+from lidarslam_ros2_tpu.core.pointcloud import PointCloud
+from lidarslam_ros2_tpu.models.registration import (
+    GICPConfig,
+    Registration,
+    gicp_align,
+    gicp_build_target,
+)
+from lidarslam_ros2_tpu.ops import gicp as gicp_ops
+from lidarslam_ros2_tpu.utils.synthetic import VLP16, World, simulate_scan
+
+
+def _scan_pair(seed, true_xi):
+    world = World(seed=seed)
+    scan = simulate_scan(world, np.eye(4, dtype=np.float32), VLP16, noise=0.01)
+    pts = scan[:, :3]
+    cap = 1 << int(np.ceil(np.log2(pts.shape[0])))
+    T_true = np.asarray(se3.se3_exp(jnp.asarray(true_xi)))
+    src = (pts - T_true[:3, 3]) @ T_true[:3, :3]
+    return (
+        PointCloud.from_numpy(pts, cap),
+        PointCloud.from_numpy(src.astype(np.float32), cap),
+        T_true,
+    )
+
+
+def test_plane_regularize_eigenvalues(rng):
+    A = rng.normal(size=(8, 3, 3)).astype(np.float32)
+    cov = np.einsum("nij,nkj->nik", A, A) + 1e-3 * np.eye(3, dtype=np.float32)
+    reg = np.asarray(gicp_ops.plane_regularize(jnp.asarray(cov), 1e-3))
+    w = np.linalg.eigvalsh(reg)
+    np.testing.assert_allclose(w[:, 1:], 1.0, atol=1e-4)
+    np.testing.assert_allclose(w[:, 0], 1e-3, atol=1e-4)
+
+
+def test_gicp_registration_recovers_transform():
+    true_xi = np.array([0.3, -0.2, 0.05, 0.01, -0.02, 0.04], dtype=np.float32)
+    target_cloud, source_cloud, T_true = _scan_pair(11, true_xi)
+    cfg = GICPConfig(voxel_resolution=1.0, voxel_capacity=16384, max_iterations=64)
+    target = gicp_build_target(cfg, target_cloud)
+    src_cov = gicp_ops.source_covariances(
+        source_cloud, cfg.voxel_resolution, cfg.voxel_capacity,
+        cfg.min_points_per_voxel, cfg.plane_epsilon,
+    )
+    res = gicp_align(cfg, target, source_cloud, src_cov, jnp.eye(4))
+    T_est = np.asarray(res.T)
+    err = np.asarray(se3.se3_log(jnp.asarray(np.linalg.inv(T_true) @ T_est)))
+    assert np.linalg.norm(err[:3]) < 0.05, (err, int(res.iterations))
+    assert np.linalg.norm(err[3:]) < 0.01, err
+    assert float(res.fitness) < 0.05
+
+
+def test_gicp_facade():
+    pts = np.random.default_rng(3).normal(scale=8.0, size=(3000, 3)).astype(np.float32)
+    cloud = PointCloud.from_numpy(pts, 4096)
+    reg = Registration(
+        "GICP", gicp=GICPConfig(voxel_resolution=2.0, voxel_capacity=4096)
+    )
+    reg.set_input_target(cloud)
+    reg.set_input_source(cloud)
+    res = reg.align()
+    np.testing.assert_allclose(
+        np.asarray(reg.get_final_transformation()), np.eye(4), atol=1e-2
+    )
+    assert reg.get_fitness_score() < 1e-2
