@@ -50,6 +50,9 @@ class NDTConfig:
     voxel_capacity: int = 16384  # padded target-leaf budget
     min_points_per_voxel: int = 6
     neighborhood: str = "DIRECT7"
+    # fitness (NN mean-squared distance) costs a full blocked NN sweep; the
+    # frontend only reads it under debug_flag, so it is switchable
+    compute_fitness: bool = True
     # LM damping schedule
     lambda_init: float = 1e-4
     lambda_up: float = 10.0
@@ -69,6 +72,7 @@ class GICPConfig:
     voxel_capacity: int = 32768
     min_points_per_voxel: int = 4
     plane_epsilon: float = 1e-3  # GICP eigenvalue regularization (1,1,eps)
+    compute_fitness: bool = True
     lambda_init: float = 1e-6
     lambda_up: float = 10.0
     lambda_down: float = 0.2
@@ -100,7 +104,10 @@ def _lm_loop(eval_terms, eval_score, guess, eps, max_iter, lam0, up, down, lam_m
         T = jnp.where(improved, T_new, s["T"])
         lam = jnp.where(improved, s["lam"] * down, s["lam"] * up)
         lam = jnp.clip(lam, 1e-10, lam_max * 10.0)
-        converged = improved & (dn < eps)
+        # a small DAMPED step only signals convergence when damping is low —
+        # otherwise LM backoff near a barrier crest would masquerade as an
+        # optimum (PCL's epsilon check is on the undamped Newton increment)
+        converged = improved & (dn < eps) & (s["lam"] <= 1.0)
         it = s["it"] + 1
         done = converged | (it >= max_iter) | (lam > lam_max)
         return dict(
@@ -173,9 +180,12 @@ def ndt_align(
         cfg.lambda_down,
         cfg.lambda_max,
     )
-    fit = fitness_score(
-        se3.transform_points(T, xyz), valid, target.raw.xyz, target.raw.valid
-    )
+    if cfg.compute_fitness:
+        fit = fitness_score(
+            se3.transform_points(T, xyz), valid, target.raw.xyz, target.raw.valid
+        )
+    else:
+        fit = jnp.float32(-1.0)
     return RegistrationResult(T, converged, it, score, fit, n_corr)
 
 
@@ -228,9 +238,12 @@ def gicp_align(
         cfg.lambda_down,
         cfg.lambda_max,
     )
-    fit = fitness_score(
-        se3.transform_points(T, xyz), valid, target.raw.xyz, target.raw.valid
-    )
+    if cfg.compute_fitness:
+        fit = fitness_score(
+            se3.transform_points(T, xyz), valid, target.raw.xyz, target.raw.valid
+        )
+    else:
+        fit = jnp.float32(-1.0)
     return RegistrationResult(T, converged, it, score, fit, n_corr)
 
 

@@ -1,0 +1,369 @@
+"""Frontend scan-matching odometry engine — the TPU re-design of
+``graphslam::ScanMatcherComponent`` (scanmatcher/src/scanmatcher_component.cpp).
+
+Pipeline parity with the reference hot path (SURVEY.md section 3.1):
+
+    deskew (use_imu) -> min/max range filter -> voxel downsample
+    -> pose seed (previous pose [* odom delta])          (:331-348)
+    -> NDT/GICP scan-to-submap registration              (:350-356)
+    -> pose/path update                                  (:389-420)
+    -> distance-gated keyframe -> submap + target rebuild (:422-491)
+
+Re-designed TPU-first: the state is a functional pytree of fixed-shape
+device arrays; the per-scan step and the keyframe update are two jitted
+programs. The reference's mapping thread + double-buffered target swap
+(:300-322, a documented race, SURVEY.md section 2.3(4)) becomes explicit:
+JAX's async dispatch queues the keyframe rebuild behind the current align
+without blocking the host, and the hand-off is by value, not by mutation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import se3
+from ..core.map_array import MapArray, SubMap
+from ..core.pointcloud import PointCloud, concat
+from ..models import registration as reg
+from ..ops import gicp as gicp_ops
+from ..ops.deskew import ImuHistory, deskew
+from ..ops.filters import min_max_range_filter
+from ..ops.voxelize import voxel_downsample
+from ..utils.imu import ImuIntegrator
+
+
+@dataclasses.dataclass(frozen=True)
+class FrontendConfig:
+    """Parameter set of the reference frontend, code defaults
+    (scanmatcher_component.cpp:20-81), plus TPU capacity planning."""
+
+    registration_method: str = "NDT"
+    ndt: reg.NDTConfig = dataclasses.field(
+        default_factory=lambda: reg.NDTConfig(compute_fitness=False)
+    )
+    gicp: reg.GICPConfig = dataclasses.field(
+        default_factory=lambda: reg.GICPConfig(compute_fitness=False)
+    )
+    trans_for_mapupdate: float = 1.5
+    vg_size_for_input: float = 0.2
+    vg_size_for_map: float = 0.1
+    use_min_max_filter: bool = False
+    scan_min_range: float = 0.1
+    scan_max_range: float = 100.0
+    scan_period: float = 0.1
+    num_targeted_cloud: int = 10
+    use_imu: bool = False
+    use_odom: bool = False
+    # --- capacities (static shapes) ---
+    scan_capacity: int = 65536  # raw points per scan
+    input_capacity: int = 16384  # after vg_size_for_input downsample
+    keyframe_capacity: int = 16384  # keyframe cloud at vg_size_for_map
+
+    def reg_cfg(self):
+        return self.ndt if self.registration_method == "NDT" else self.gicp
+
+
+class FrontendState(NamedTuple):
+    """Device-side functional state (pytree)."""
+
+    pose: jnp.ndarray  # f32[4,4] current map->base_link
+    previous_position: jnp.ndarray  # f32[3] position at last keyframe
+    latest_distance: jnp.ndarray  # f32 cumulative travel
+    trans: jnp.ndarray  # f32 distance moved since last keyframe
+    kf_xyz: jnp.ndarray  # f32[K, C, 3] LOCAL-frame keyframe clouds (ring)
+    kf_intensity: jnp.ndarray  # f32[K, C]
+    kf_valid: jnp.ndarray  # bool[K, C]
+    kf_pose: jnp.ndarray  # f32[K, 4, 4]
+    kf_slot_used: jnp.ndarray  # bool[K]
+    kf_next: jnp.ndarray  # i32 ring insert slot
+    target: Any  # NDTTargetState | GICPTargetState
+    prev_odom: jnp.ndarray  # f32[4,4]
+    has_prev_odom: jnp.ndarray  # bool
+
+
+class StepOutputs(NamedTuple):
+    pose: jnp.ndarray  # f32[4,4]
+    converged: jnp.ndarray
+    iterations: jnp.ndarray
+    score: jnp.ndarray
+    fitness: jnp.ndarray
+    trans: jnp.ndarray  # distance since last keyframe
+    need_keyframe: jnp.ndarray  # bool
+
+
+# ---------------------------------------------------------------------------
+# jitted pipeline stages
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("cfg",))
+def preprocess(
+    cfg: FrontendConfig, raw: PointCloud, imu: ImuHistory
+) -> Tuple[PointCloud, PointCloud]:
+    """Deskew + range filter + input downsample.
+
+    Returns (filtered_raw [scan_capacity], source [input_capacity]) — the
+    raw (full-res) cloud feeds keyframe creation at vg_size_for_map, matching
+    the reference's use of the pre-downsample cloud in updateMap (:438-447).
+    """
+    cloud = raw
+    if cfg.use_imu:
+        cloud = deskew(cloud, imu, cfg.scan_period)
+    if cfg.use_min_max_filter:
+        cloud = min_max_range_filter(cloud, cfg.scan_min_range, cfg.scan_max_range)
+    source = voxel_downsample(cloud, cfg.vg_size_for_input, cfg.input_capacity)
+    return cloud, source
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def register_scan(
+    cfg: FrontendConfig,
+    state: FrontendState,
+    source: PointCloud,
+    odom: jnp.ndarray,
+    has_odom: jnp.ndarray,
+) -> Tuple[FrontendState, StepOutputs]:
+    """Seed + align + pose update (reference receiveCloud/publishMapAndPose)."""
+    guess = state.pose
+    if cfg.use_odom:
+        # guess = pose * prev_odom^-1 * odom  (scanmatcher_component.cpp:344-346)
+        use = has_odom & state.has_prev_odom
+        delta = se3.compose(se3.inverse(state.prev_odom), odom)
+        guess = jnp.where(use, se3.compose(guess, delta), guess)
+        prev_odom = jnp.where(has_odom, odom, state.prev_odom)
+        has_prev = state.has_prev_odom | has_odom
+    else:
+        prev_odom = state.prev_odom
+        has_prev = state.has_prev_odom
+
+    if cfg.registration_method == "NDT":
+        result = reg.ndt_align(cfg.ndt, state.target, source, guess)
+    else:
+        src_cov = gicp_ops.source_covariances(
+            source,
+            cfg.gicp.voxel_resolution,
+            cfg.gicp.voxel_capacity,
+            cfg.gicp.min_points_per_voxel,
+            cfg.gicp.plane_epsilon,
+        )
+        result = reg.gicp_align(cfg.gicp, state.target, source, src_cov, guess)
+
+    pose = result.T
+    trans = jnp.linalg.norm(se3.translation(pose) - state.previous_position)
+    need_kf = trans >= cfg.trans_for_mapupdate
+    new_state = state._replace(
+        pose=pose, trans=trans, prev_odom=prev_odom, has_prev_odom=has_prev
+    )
+    outputs = StepOutputs(
+        pose=pose,
+        converged=result.converged,
+        iterations=result.iterations,
+        score=result.score,
+        fitness=result.fitness,
+        trans=trans,
+        need_keyframe=need_kf,
+    )
+    return new_state, outputs
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def keyframe_update(
+    cfg: FrontendConfig, state: FrontendState, filtered_raw: PointCloud
+) -> FrontendState:
+    """Insert a keyframe and rebuild the registration target
+    (reference updateMap, scanmatcher_component.cpp:438-491).
+
+    The keyframe cloud is stored in the LOCAL frame at vg_size_for_map; the
+    target is the concatenation of all ring keyframes transformed by their
+    stored poses (:452-464), compiled into an NDT/GICP voxel model.
+    """
+    kf_cloud = voxel_downsample(filtered_raw, cfg.vg_size_for_map, cfg.keyframe_capacity)
+    slot = state.kf_next
+    K = state.kf_xyz.shape[0]
+    kf_xyz = state.kf_xyz.at[slot].set(kf_cloud.xyz)
+    kf_int = state.kf_intensity.at[slot].set(kf_cloud.intensity)
+    kf_valid = state.kf_valid.at[slot].set(kf_cloud.valid)
+    kf_pose = state.kf_pose.at[slot].set(state.pose)
+    kf_used = state.kf_slot_used.at[slot].set(True)
+
+    # target window: every used slot, transformed to the map frame
+    world_xyz = jnp.einsum("kij,knj->kni", kf_pose[:, :3, :3], kf_xyz) + kf_pose[
+        :, None, :3, 3
+    ]
+    valid = kf_valid & kf_used[:, None]
+    window = PointCloud(
+        xyz=world_xyz.reshape(-1, 3),
+        intensity=kf_int.reshape(-1),
+        valid=valid.reshape(-1),
+    )
+    if cfg.registration_method == "NDT":
+        target = reg.ndt_build_target(cfg.ndt, window)
+    else:
+        target = reg.gicp_build_target(cfg.gicp, window)
+
+    return state._replace(
+        previous_position=se3.translation(state.pose),
+        latest_distance=state.latest_distance + state.trans,
+        kf_xyz=kf_xyz,
+        kf_intensity=kf_int,
+        kf_valid=kf_valid,
+        kf_pose=kf_pose,
+        kf_slot_used=kf_used,
+        kf_next=(slot + 1) % K,
+        target=target,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Host engine
+# ---------------------------------------------------------------------------
+
+class ScanMatcher:
+    """Host-side frontend engine with the reference's topic-level behavior.
+
+    feed IMU via :meth:`add_imu`, scans via :meth:`process_scan`; keyframes
+    accumulate into the host :class:`MapArray` (the backend's input).
+    """
+
+    def __init__(self, cfg: FrontendConfig = FrontendConfig(),
+                 initial_pose: Optional[np.ndarray] = None):
+        self.cfg = cfg
+        self.imu = ImuIntegrator(scan_period=cfg.scan_period)
+        self.map_array = MapArray()
+        self.path: list[np.ndarray] = []
+        self.state: Optional[FrontendState] = None
+        self._initial_pose = (
+            np.eye(4, dtype=np.float32) if initial_pose is None else initial_pose
+        )
+        self._initialized = False
+
+    # -- inputs -------------------------------------------------------------
+    def set_initial_pose(self, pose: np.ndarray) -> None:
+        if self._initialized:
+            raise RuntimeError("initial pose must be set before the first scan")
+        self._initial_pose = np.asarray(pose, dtype=np.float32)
+
+    def add_imu(self, angular_velocity, linear_acceleration, orientation_xyzw,
+                stamp: float) -> None:
+        """sensor_msgs/Imu intake (reference receiveImu, :501-527)."""
+        self.imu.add(angular_velocity, linear_acceleration, orientation_xyzw, stamp)
+
+    def process_scan(
+        self,
+        points: np.ndarray,
+        stamp: float,
+        odom_pose: Optional[np.ndarray] = None,
+    ) -> dict:
+        """One /input_cloud message -> pose (and possibly a new submap).
+
+        ``points``: (M, 3) or (M, 4) float array in the robot frame.
+        Returns a dict mirroring the reference's per-scan outputs.
+        """
+        cfg = self.cfg
+        raw = PointCloud.from_numpy(points, cfg.scan_capacity)
+        imu_hist = self.imu.snapshot(ref_time=stamp)
+
+        filtered_raw, source = preprocess(cfg, raw, imu_hist)
+
+        if not self._initialized:
+            self._init_map(filtered_raw, stamp)
+            self._initialized = True
+
+        odom = (
+            jnp.asarray(odom_pose, dtype=jnp.float32)
+            if odom_pose is not None
+            else jnp.eye(4, dtype=jnp.float32)
+        )
+        has_odom = jnp.asarray(odom_pose is not None)
+        self.state, out = register_scan(cfg, self.state, source, odom, has_odom)
+
+        pose_np = np.asarray(out.pose)
+        self.path.append(pose_np)
+        result = {
+            "pose": pose_np,
+            "converged": bool(out.converged),
+            "iterations": int(out.iterations),
+            "score": float(out.score),
+            "fitness": float(out.fitness),
+            "trans": float(out.trans),
+            "keyframe": False,
+            "stamp": stamp,
+        }
+
+        if bool(out.need_keyframe):
+            self.state = keyframe_update(cfg, self.state, filtered_raw)
+            self._append_submap(pose_np, stamp)
+            result["keyframe"] = True
+        return result
+
+    # -- internals ------------------------------------------------------------
+    def _empty_state(self) -> FrontendState:
+        cfg = self.cfg
+        K, C = cfg.num_targeted_cloud, cfg.keyframe_capacity
+        dummy_window = PointCloud.empty(K * C)
+        if cfg.registration_method == "NDT":
+            target = reg.ndt_build_target(cfg.ndt, dummy_window)
+        elif cfg.registration_method == "GICP":
+            target = reg.gicp_build_target(cfg.gicp, dummy_window)
+        else:  # reference exits on invalid method (:121-124)
+            raise ValueError(
+                f"invalid registration method: {cfg.registration_method}"
+            )
+        pose0 = jnp.asarray(self._initial_pose)
+        return FrontendState(
+            pose=pose0,
+            previous_position=se3.translation(pose0),
+            latest_distance=jnp.float32(0.0),
+            trans=jnp.float32(0.0),
+            kf_xyz=jnp.zeros((K, C, 3), dtype=jnp.float32),
+            kf_intensity=jnp.zeros((K, C), dtype=jnp.float32),
+            kf_valid=jnp.zeros((K, C), dtype=bool),
+            kf_pose=jnp.tile(jnp.eye(4, dtype=jnp.float32), (K, 1, 1)),
+            kf_slot_used=jnp.zeros((K,), dtype=bool),
+            kf_next=jnp.int32(0),
+            target=target,
+            prev_odom=jnp.eye(4, dtype=jnp.float32),
+            has_prev_odom=jnp.asarray(False),
+        )
+
+    def _init_map(self, filtered_raw: PointCloud, stamp: float) -> None:
+        """First scan: seed submap #0 + initial target
+        (reference initializeMap, :262-294)."""
+        self.state = self._empty_state()
+        self.state = keyframe_update(self.cfg, self.state, filtered_raw)
+        # initializeMap does not advance previous_position/latest_distance
+        self._append_submap(np.asarray(self.state.pose), stamp)
+
+    def _append_submap(self, pose: np.ndarray, stamp: float) -> None:
+        """Copy the keyframe cloud just inserted on device into the host
+        MapArray (LOCAL frame, like SubMap.msg cloud semantics)."""
+        K = self.cfg.num_targeted_cloud
+        slot = (int(self.state.kf_next) - 1) % K
+        cloud = PointCloud(
+            self.state.kf_xyz[slot],
+            self.state.kf_intensity[slot],
+            self.state.kf_valid[slot],
+        )
+        self.map_array.append(
+            SubMap(
+                stamp=stamp,
+                pose=pose.astype(np.float32),
+                distance=float(self.state.latest_distance),
+                cloud=cloud.to_numpy(),
+            )
+        )
+
+    # -- outputs -----------------------------------------------------------
+    def current_pose(self) -> np.ndarray:
+        return np.asarray(self.state.pose)
+
+    def get_path(self) -> np.ndarray:
+        return np.stack(self.path) if self.path else np.zeros((0, 4, 4))
+
+    def global_map(self) -> np.ndarray:
+        return self.map_array.global_cloud()

@@ -49,9 +49,22 @@ class World:
         self.sizes = sizes[keep]
         self.heights = heights[keep]
 
+    def ground_height(self, xy: np.ndarray) -> np.ndarray:
+        """Gently undulating terrain. A perfectly planar floor is degenerate
+        for scan matching (the LiDAR's concentric ground rings self-match at
+        zero relative motion regardless of true displacement); real ground is
+        never that flat, so neither is the simulator's."""
+        x, y = xy[:, 0], xy[:, 1]
+        return (
+            0.25 * np.sin(x * 0.31) * np.sin(y * 0.23)
+            + 0.15 * np.sin(x * 0.11 + 1.3)
+            + 0.12 * np.cos(y * 0.17 + 0.4)
+        )
+
     def sdf(self, p: np.ndarray) -> np.ndarray:
         """Signed distance to the world surface for points p (N, 3)."""
-        d_ground = p[:, 2]  # plane z=0
+        # conservative (0.7x) distance bound for the heightfield ground
+        d_ground = 0.7 * (p[:, 2] - self.ground_height(p[:, :2]))
         d = d_ground
         for c, s, h in zip(self.centers, self.sizes, self.heights):
             q = np.abs(p[:, :2] - c) - s / 2
@@ -78,7 +91,11 @@ def simulate_scan(
     elev = np.deg2rad(
         np.linspace(lidar.vfov_lo_deg, lidar.vfov_hi_deg, lidar.n_rings)
     )
-    azi = np.linspace(-np.pi, np.pi, lidar.n_azimuth, endpoint=False)
+    # per-revolution azimuth phase jitter, like a real spinning unit — without
+    # it consecutive scans share the exact ray pattern and scan matching can
+    # lock onto the near-field ring structure instead of the geometry
+    phase = rng.uniform(0.0, 2 * np.pi / lidar.n_azimuth)
+    azi = np.linspace(-np.pi, np.pi, lidar.n_azimuth, endpoint=False) + phase
     E, A = np.meshgrid(elev, azi)  # (n_azimuth, n_rings): azimuth-major order
     dirs = np.stack(
         [np.cos(E) * np.cos(A), np.cos(E) * np.sin(A), np.sin(E)], axis=-1
