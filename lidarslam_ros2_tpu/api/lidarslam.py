@@ -1,0 +1,91 @@
+"""Composed SLAM application: frontend + backend on one bus.
+
+Equivalent of the reference's composed executable (lidarslam/src/lidarslam.cpp:
+both components in one process, MultiThreadedExecutor + intra-process comms).
+The dataflow stays one-way — backend corrections are never fed back to the
+frontend (SURVEY.md section 1), matching the reference exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Optional
+
+import numpy as np
+
+from ..graph.backend import BackendConfig
+from ..odometry.frontend import FrontendConfig
+from .bus import Bus
+from .graph_based_slam_node import GraphBasedSlamNode
+from .scan_matcher_node import ScanMatcherNode
+
+
+class LidarSlam:
+    """One-process SLAM pipeline with the reference's topic topology."""
+
+    def __init__(
+        self,
+        frontend_cfg: FrontendConfig = FrontendConfig(),
+        backend_cfg: BackendConfig = BackendConfig(),
+        set_initial_pose: bool = True,
+        initial_pose: Optional[np.ndarray] = None,
+        **frontend_node_kw,
+    ):
+        self.bus = Bus()
+        self.scan_matcher = ScanMatcherNode(
+            self.bus,
+            frontend_cfg,
+            set_initial_pose=set_initial_pose,
+            initial_pose=initial_pose,
+            **frontend_node_kw,
+        )
+        self.graph_based_slam = GraphBasedSlamNode(self.bus, backend_cfg)
+
+    # -- streaming interface ---------------------------------------------------
+    def add_imu(self, angular_velocity, linear_acceleration, orientation_xyzw,
+                stamp: float) -> None:
+        self.bus.publish(
+            "imu",
+            {
+                "angular_velocity": angular_velocity,
+                "linear_acceleration": linear_acceleration,
+                "orientation": orientation_xyzw,
+                "stamp": stamp,
+            },
+        )
+
+    def add_scan(self, points: np.ndarray, stamp: float,
+                 odom: Optional[np.ndarray] = None) -> None:
+        self.bus.publish("input_cloud", {"points": points, "stamp": stamp, "odom": odom})
+        self.bus.publish("clock", stamp)
+
+    def run(self, scans: Iterable[tuple], imu: Iterable[tuple] = ()) -> dict:
+        """Offline batch: merge scan/imu streams by stamp and process.
+
+        scans: iterable of (stamp, points[, odom]); imu: iterable of
+        (stamp, angular_velocity, linear_acceleration, orientation_xyzw).
+        """
+        events = [(s[0], "scan", s) for s in scans]
+        events += [(m[0], "imu", m) for m in imu]
+        events.sort(key=lambda e: e[0])
+        for stamp, kind, payload in events:
+            if kind == "imu":
+                _, w, a, q = payload
+                self.add_imu(w, a, q, stamp)
+            else:
+                pts = payload[1]
+                odom = payload[2] if len(payload) > 2 else None
+                self.add_scan(pts, stamp, odom)
+        return self.results()
+
+    def map_save(self) -> bool:
+        return self.graph_based_slam.map_save()
+
+    def results(self) -> dict:
+        return {
+            "path": self.scan_matcher.engine.get_path(),
+            "map_array": self.scan_matcher.engine.map_array,
+            "modified_map_array": self.graph_based_slam.engine.modified_map_array,
+            "modified_path": self.graph_based_slam.engine.modified_path,
+            "loop_edges": self.graph_based_slam.engine.loop_edges,
+            "map": self.scan_matcher.engine.global_map(),
+        }

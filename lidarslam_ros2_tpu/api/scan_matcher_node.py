@@ -1,0 +1,108 @@
+"""ScanMatcherNode — topic-level API parity with the reference frontend node.
+
+Subscribes ``input_cloud`` / ``imu`` / ``initial_pose``; publishes
+``current_pose`` / ``path`` / ``map`` / ``map_array`` (reference io table,
+README.md:38-63 and scanmatcher_component.cpp:157-260). Message payloads are
+plain Python/numpy structures (io/pointcloud2.py converts to/from real ROS 2
+serializations at the edges).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+from ..odometry.frontend import FrontendConfig, ScanMatcher
+from .bus import Bus
+
+
+@dataclasses.dataclass
+class PoseStamped:
+    stamp: float
+    frame_id: str
+    pose: np.ndarray  # f32[4,4]
+
+
+class ScanMatcherNode:
+    def __init__(
+        self,
+        bus: Bus,
+        cfg: FrontendConfig = FrontendConfig(),
+        global_frame_id: str = "map",
+        robot_frame_id: str = "base_link",
+        set_initial_pose: bool = False,
+        initial_pose: Optional[np.ndarray] = None,
+        map_publish_period: float = 15.0,
+        publish_tf: bool = True,
+        debug_flag: bool = False,
+    ):
+        self.bus = bus
+        self.cfg = cfg
+        self.global_frame_id = global_frame_id
+        self.robot_frame_id = robot_frame_id
+        self.map_publish_period = map_publish_period
+        self.publish_tf = publish_tf
+        self.debug_flag = debug_flag
+        self.engine = ScanMatcher(cfg)
+        self._initial_pose_received = False
+        self._last_map_time: Optional[float] = None
+
+        if set_initial_pose:
+            pose = initial_pose if initial_pose is not None else np.eye(4, dtype=np.float32)
+            self.engine.set_initial_pose(pose)
+            self._initial_pose_received = True
+            bus.publish("current_pose", PoseStamped(0.0, global_frame_id, pose))
+
+        bus.subscribe("input_cloud", self._on_cloud)
+        bus.subscribe("imu", self._on_imu)
+        bus.subscribe("initial_pose", self._on_initial_pose)
+
+    # -- callbacks (reference initializePubSub, :157-260) ---------------------
+    def _on_initial_pose(self, msg: PoseStamped) -> None:
+        if msg.frame_id != self.global_frame_id:
+            print("This initial_pose is not in the global frame")
+            return
+        self.engine.set_initial_pose(msg.pose)
+        self._initial_pose_received = True
+        self.bus.publish("current_pose", msg)
+
+    def _on_imu(self, msg: dict) -> None:
+        if not self._initial_pose_received:
+            return
+        if not self.cfg.use_imu:
+            return
+        self.engine.add_imu(
+            msg["angular_velocity"],
+            msg["linear_acceleration"],
+            msg["orientation"],
+            msg["stamp"],
+        )
+
+    def _on_cloud(self, msg: dict) -> None:
+        """msg: {"points": (N,3|4) array, "stamp": float, "odom": 4x4|None}"""
+        if not self._initial_pose_received:
+            print("initial_pose is not received")
+            return
+        stamp = msg["stamp"]
+        r = self.engine.process_scan(
+            msg["points"], stamp, odom_pose=msg.get("odom")
+        )
+        ps = PoseStamped(stamp, self.global_frame_id, r["pose"])
+        self.bus.publish("current_pose", ps)
+        self.bus.publish("path", self.engine.get_path())
+        if self.publish_tf:
+            self.bus.publish("tf", ps)
+        if r["keyframe"]:
+            self.bus.publish("map_array", self.engine.map_array)
+            if self._last_map_time is None:
+                self._last_map_time = stamp
+            if stamp - self._last_map_time > self.map_publish_period:
+                self.bus.publish("map", self.engine.global_map())
+                self._last_map_time = stamp
+        if self.debug_flag:
+            print(
+                f"[scan_matcher] t={stamp:.2f} it={r['iterations']} "
+                f"conv={r['converged']} trans={r['trans']:.3f} kf={r['keyframe']}"
+            )

@@ -113,7 +113,16 @@ def so3_log(R: jnp.ndarray) -> jnp.ndarray:
     """
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos_t = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_t)
+    # arccos has an infinite derivative at +-1; solvers differentiate through
+    # this (pose-graph residuals are ~identity at convergence), so theta is
+    # computed from a clipped argument and the identity neighborhood uses a
+    # series in cos_t instead (theta/(2 sin theta) = 1/2 + (1-cos)/6 + ...)
+    small = cos_t > 1.0 - 1e-6
+    # cos(pi - x) = -1 + x^2/2: 5e-7 keeps the low-precision axis-recovery
+    # branch confined to theta > pi - 1e-3
+    near_pi = cos_t < -1.0 + 5e-7
+    cos_safe = jnp.clip(cos_t, -1.0 + 1e-7, 1.0 - 1e-7)
+    theta = jnp.arccos(cos_safe)
     # generic branch: w = theta/(2 sin theta) * vee(R - R^T)
     vee = jnp.stack(
         [
@@ -124,12 +133,8 @@ def so3_log(R: jnp.ndarray) -> jnp.ndarray:
         axis=-1,
     )
     sin_t = jnp.sin(theta)
-    small = theta < 1e-4
-    near_pi = theta > jnp.pi - 1e-3
-    scale_generic = theta / jnp.where(
-        jnp.abs(2.0 * sin_t) < _EPS, _EPS, 2.0 * sin_t
-    )
-    scale_small = 0.5 + theta * theta / 12.0
+    scale_generic = theta / (2.0 * sin_t)
+    scale_small = 0.5 + (1.0 - cos_t) / 6.0
     w_generic = jnp.where(small[..., None], scale_small[..., None], scale_generic[..., None]) * vee
     # near pi: |w_i| = theta*sqrt((R_ii+1)/2), sign from vee (vee ~ 0 there,
     # use off-diagonal sums for sign robustness)

@@ -1,0 +1,256 @@
+"""Backend loop-closure SLAM — the TPU re-design of
+``graphslam::GraphBasedSlamComponent``
+(graph_based_slam/src/graph_based_slam_component.cpp).
+
+Behavior parity (SURVEY.md sections 3.3-3.4):
+
+* ``search_loop``: candidate = nearest submap with
+  ``travel_latest - travel_i > distance_loop_closure`` AND
+  ``|pos_latest - pos_i| < range_of_searching_loop_closure`` (:190-205,
+  vectorized here); target = submaps ``[id_min - n .. id_min + n]``
+  transformed + concatenated + voxel-downsampled (:208-227); accept when
+  registration fitness < ``threshold_loop_closure_score`` (:233);
+  loop edge relative pose = ``from^-1 (T_icp * T_latest)`` (:242-246).
+* loop edges accumulate across optimizations (header :142 quirk preserved).
+* ``do_pose_adjustment``: chain + loop edges, identity information, vertex 0
+  fixed, 10 GN iterations, g2o text export, modified map/path outputs, and
+  optional map.pcd save (:262-371).
+
+The known copy-before-lock race of the reference (SURVEY.md section 2.3(4))
+disappears: the backend consumes an immutable MapArray copy by value.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.map_array import MapArray, SubMap
+from ..core.pointcloud import PointCloud
+from ..io.g2o import save_g2o
+from ..io.pcd import save_pcd
+from ..models import registration as reg
+from ..ops.gicp import source_covariances
+from ..ops.voxelize import voxel_downsample
+from .pose_graph import build_graph, optimize_pose_graph
+
+
+@dataclasses.dataclass(frozen=True)
+class BackendConfig:
+    """Reference parameter set, code defaults
+    (graph_based_slam_component.cpp:21-44)."""
+
+    registration_method: str = "NDT"
+    voxel_leaf_size: float = 0.2
+    ndt: reg.NDTConfig = dataclasses.field(
+        default_factory=lambda: reg.NDTConfig(
+            resolution=5.0, max_iterations=100, voxel_capacity=16384
+        )
+    )
+    gicp: reg.GICPConfig = dataclasses.field(
+        default_factory=lambda: reg.GICPConfig(
+            max_correspondence_distance=30.0, max_iterations=100
+        )
+    )
+    loop_detection_period: int = 1000  # ms (driven by the API layer's timer)
+    threshold_loop_closure_score: float = 1.0
+    distance_loop_closure: float = 20.0
+    range_of_searching_loop_closure: float = 20.0
+    search_submap_num: int = 3
+    num_adjacent_pose_cnstraints: int = 5
+    use_save_map_in_loop: bool = True
+    debug_flag: bool = False
+    # --- capacities ---
+    source_capacity: int = 16384  # latest submap cloud
+    target_capacity: int = 65536  # downsampled loop-target window
+    # pose-graph solver
+    gn_iterations: int = 10  # reference optimize(10)
+    cg_iterations: int = 100
+    # output paths (reference writes cwd-relative files)
+    pose_graph_path: str = "pose_graph.g2o"
+    map_pcd_path: str = "map.pcd"
+
+
+@dataclasses.dataclass
+class LoopEdge:
+    """Reference LoopEdge (header :137-142)."""
+
+    pair_id: Tuple[int, int]
+    relative_pose: np.ndarray  # f32[4,4]
+
+
+class GraphBasedSlam:
+    """Host engine; feed MapArray snapshots, call :meth:`search_loop`."""
+
+    def __init__(self, cfg: BackendConfig = BackendConfig()):
+        if cfg.registration_method not in ("NDT", "GICP"):
+            raise ValueError(
+                f"invalid registration_method: {cfg.registration_method}"
+            )
+        self.cfg = cfg
+        self.loop_edges: List[LoopEdge] = []
+        self.map_array: Optional[MapArray] = None
+        self.modified_map_array: Optional[MapArray] = None
+        self.modified_path: Optional[np.ndarray] = None
+        self._map_array_updated = False
+
+    # -- inputs ---------------------------------------------------------------
+    def receive_map_array(self, map_array: MapArray) -> None:
+        """/map_array subscription (latest-only, KeepLast(1) semantics)."""
+        self.map_array = map_array.copy()
+        self._map_array_updated = True
+
+    # -- loop detection (reference searchLoop, :145-260) ----------------------
+    def search_loop(self) -> Optional[LoopEdge]:
+        cfg = self.cfg
+        if self.map_array is None or not self._map_array_updated:
+            return None
+        if len(self.map_array) < 2:
+            return None
+        self._map_array_updated = False
+        ma = self.map_array
+        n = len(ma)
+
+        latest = ma.submaps[-1]
+        poses = ma.poses()
+        dists = ma.distances()
+        pos = poses[:, :3, 3]
+        latest_pos = latest.pose[:3, 3]
+
+        # vectorized candidate scan (:190-205)
+        d = np.linalg.norm(pos - latest_pos[None, :], axis=1)
+        eligible = (latest.distance - dists > cfg.distance_loop_closure) & (
+            d < cfg.range_of_searching_loop_closure
+        )
+        if not eligible.any():
+            return None
+        id_min = int(np.where(eligible, d, np.inf).argmin())
+        min_submap = ma.submaps[id_min]
+
+        # source: latest submap cloud in the map frame (:168-181)
+        src_world = self._submap_world_cloud(latest)
+        source = PointCloud.from_numpy(src_world, cfg.source_capacity)
+
+        # target: neighborhood window around the candidate (:208-227)
+        parts = []
+        for j in range(2 * cfg.search_submap_num + 1):
+            idx = id_min + j - cfg.search_submap_num
+            if idx < 0 or idx >= n:
+                # reference only guards idx < 0; >= n cannot occur there
+                # because the candidate is far behind the latest submap
+                continue
+            parts.append(self._submap_world_cloud(ma.submaps[idx]))
+        tgt_pts = np.concatenate(parts)
+        tgt = voxel_downsample(
+            PointCloud.from_numpy(tgt_pts, _pad_pow2(len(tgt_pts))),
+            cfg.voxel_leaf_size,
+            cfg.target_capacity,
+        )
+
+        result = self._register(tgt, source)
+        fitness = float(result.fitness)
+        if cfg.debug_flag:
+            print(
+                f"loop check: candidate={id_min} latest={n - 1} "
+                f"fitness={fitness:.3f} threshold={cfg.threshold_loop_closure_score}"
+            )
+        if fitness >= cfg.threshold_loop_closure_score or fitness < 0:
+            return None
+
+        # relative pose = from^-1 * (T_icp * T_latest)  (:242-246)
+        T_icp = np.asarray(result.T)
+        to = T_icp @ latest.pose
+        rel = np.linalg.inv(min_submap.pose) @ to
+        edge = LoopEdge(pair_id=(id_min, n - 1), relative_pose=rel.astype(np.float32))
+        self.loop_edges.append(edge)
+        self.do_pose_adjustment(ma, cfg.use_save_map_in_loop)
+        return edge
+
+    # -- pose adjustment (reference doPoseAdjustment, :262-371) ---------------
+    def do_pose_adjustment(self, map_array: MapArray, do_save_map: bool) -> None:
+        cfg = self.cfg
+        poses = map_array.poses()
+        loop_pairs = np.array([e.pair_id for e in self.loop_edges], dtype=np.int32)
+        loop_rel = (
+            np.stack([e.relative_pose for e in self.loop_edges])
+            if self.loop_edges
+            else np.zeros((0, 4, 4), np.float32)
+        )
+        graph = build_graph(
+            poses, cfg.num_adjacent_pose_cnstraints, loop_pairs, loop_rel
+        )
+        new_poses, chi2 = optimize_pose_graph(
+            graph, gn_iters=cfg.gn_iterations, cg_iters=cfg.cg_iterations
+        )
+        n = len(map_array)
+        corrected = np.asarray(new_poses)[:n]
+
+        # g2o export (:319)
+        edges = []
+        na = cfg.num_adjacent_pose_cnstraints
+        info = np.eye(6, dtype=np.float32)
+        for i in range(n):
+            if i > na:
+                for j in range(i - na, i):
+                    meas = np.linalg.inv(poses[j]) @ poses[i]
+                    edges.append((j, i, meas, info))
+        for e in self.loop_edges:
+            edges.append((e.pair_id[0], e.pair_id[1], e.relative_pose, info))
+        save_g2o(cfg.pose_graph_path, corrected, edges)
+
+        # modified outputs (:321-368)
+        out = MapArray(cloud_coordinate=map_array.cloud_coordinate)
+        for i, s in enumerate(map_array.submaps):
+            out.append(
+                SubMap(
+                    stamp=s.stamp,
+                    pose=corrected[i],
+                    distance=s.distance,
+                    cloud=s.cloud,
+                )
+            )
+        self.modified_map_array = out
+        self.modified_path = corrected
+        if do_save_map:
+            save_pcd(cfg.map_pcd_path, out.global_cloud())
+        if cfg.debug_flag:
+            print(f"pose adjustment done: n={n} chi2={float(chi2):.4f}")
+
+    # -- map_save service (:90-103) --------------------------------------------
+    def map_save(self) -> bool:
+        if self.map_array is None:
+            print("initial map is not received")
+            return False
+        self.do_pose_adjustment(self.map_array, True)
+        return True
+
+    # -- helpers -----------------------------------------------------------------
+    def _submap_world_cloud(self, s: SubMap) -> np.ndarray:
+        xyz = s.cloud[:, :3] @ s.pose[:3, :3].T + s.pose[:3, 3]
+        return np.concatenate([xyz, s.cloud[:, 3:4]], axis=1).astype(np.float32)
+
+    def _register(self, target: PointCloud, source: PointCloud):
+        cfg = self.cfg
+        guess = jnp.eye(4, dtype=jnp.float32)  # identity guess (:229-230)
+        if cfg.registration_method == "NDT":
+            tgt = reg.ndt_build_target(cfg.ndt, target)
+            return reg.ndt_align(cfg.ndt, tgt, source, guess)
+        tgt = reg.gicp_build_target(cfg.gicp, target)
+        src_cov = source_covariances(
+            source,
+            cfg.gicp.voxel_resolution,
+            cfg.gicp.voxel_capacity,
+            cfg.gicp.min_points_per_voxel,
+            cfg.gicp.plane_epsilon,
+        )
+        return reg.gicp_align(cfg.gicp, tgt, source, src_cov, guess)
+
+
+def _pad_pow2(n: int, minimum: int = 1024) -> int:
+    b = minimum
+    while b < n:
+        b *= 2
+    return b

@@ -17,7 +17,9 @@ from lidarslam_ros2_tpu.utils.synthetic import VLP16, World, simulate_scan
 
 def _scan_pair(seed, true_xi):
     world = World(seed=seed)
-    scan = simulate_scan(world, np.eye(4, dtype=np.float32), VLP16, noise=0.01)
+    pose = np.eye(4, dtype=np.float32)
+    pose[2, 3] = 1.5  # sensor above ground
+    scan = simulate_scan(world, pose, VLP16, noise=0.01)
     pts = scan[:, :3]
     cap = 1 << int(np.ceil(np.log2(pts.shape[0])))
     T_true = np.asarray(se3.se3_exp(jnp.asarray(true_xi)))
