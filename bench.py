@@ -1,0 +1,110 @@
+"""Headline benchmark — run on real TPU by the driver.
+
+North-star metric (BASELINE.md): VLP-32-class scan-to-submap NDT
+registration, ~30k source points against a 10-keyframe target window,
+milliseconds per Gauss-Newton/LM iteration on one TPU core. Baseline target:
+< 2 ms/iteration (and >= 20x over 8-thread ndt_omp, whose measured class is
+~40 ms/iter on this workload size).
+
+Prints ONE JSON line:
+    {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+``vs_baseline`` is the speedup vs the 2 ms/iter target (>1 = beating it).
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def _vlp32_window(seed=0):
+    """Synthetic VLP-32 scan + 10-keyframe target window at hdl_400-like
+    scale (BASELINE config 1: NDT resolution 5.0, vg 0.2, no IMU/odom)."""
+    from lidarslam_ros2_tpu.core.pointcloud import PointCloud
+    from lidarslam_ros2_tpu.ops.voxelize import voxel_downsample
+    from lidarslam_ros2_tpu.utils.synthetic import VLP32, World, line_trajectory, simulate_scan
+
+    world = World(seed=seed, extent=120.0, n_boxes=60)
+    poses = line_trajectory(10, step=1.5)
+    window_parts = []
+    for k, pose in enumerate(poses):
+        scan = simulate_scan(world, pose, VLP32, noise=0.01, seed=k, n_steps=64)
+        xyz = scan[:, :3] @ pose[:3, :3].T + pose[:3, 3]
+        window_parts.append(
+            np.concatenate([xyz, scan[:, 3:4]], axis=1).astype(np.float32)
+        )
+    window_pts = np.concatenate(window_parts)
+    # keyframe clouds live at vg_size_for_map=0.1; the window is their concat
+    window = voxel_downsample(
+        PointCloud.from_numpy(window_pts, 1 << int(np.ceil(np.log2(len(window_pts))))),
+        0.1,
+        262144,
+    )
+
+    src_scan = simulate_scan(world, poses[5], VLP32, noise=0.01, seed=99, n_steps=64)
+    source = voxel_downsample(
+        PointCloud.from_numpy(src_scan[:, :3], 65536), 0.2, 32768
+    )
+    return window, source, poses[5]
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from lidarslam_ros2_tpu.models.registration import (
+        NDTConfig,
+        ndt_align,
+        ndt_build_target,
+    )
+
+    window, source, true_pose = _vlp32_window()
+    n_src = int(source.count())
+
+    iters = 30
+    cfg = NDTConfig(
+        resolution=5.0,  # BASELINE config 1
+        voxel_capacity=65536,
+        max_iterations=iters,
+        transformation_epsilon=0.0,  # force exactly `iters` LM iterations
+        lambda_up=1.0,  # keep damping flat so the early lam_max bail never fires
+        lambda_max=1e30,
+        compute_fitness=False,
+    )
+    target = ndt_build_target(cfg, window)
+    jax.block_until_ready(target)
+
+    offset = np.eye(4, dtype=np.float32)
+    offset[:3, 3] = [0.3, -0.2, 0.05]  # realistic inter-scan seed error
+    guess = jnp.asarray(true_pose @ offset)
+    # warm-up/compile
+    res = ndt_align(cfg, target, source, guess)
+    jax.block_until_ready(res.T)
+    assert int(res.iterations) == iters
+
+    times = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        res = ndt_align(cfg, target, source, guess)
+        jax.block_until_ready(res.T)
+        times.append(time.perf_counter() - t0)
+    ms_per_iter = 1000.0 * float(np.median(times)) / iters
+
+    out = {
+        "metric": "vlp32_scan_to_submap_ndt_gn_iteration_latency",
+        "value": round(ms_per_iter, 4),
+        "unit": "ms/iter",
+        "vs_baseline": round(2.0 / ms_per_iter, 2),
+        "detail": {
+            "source_points": n_src,
+            "target_window_points": int(window.count()),
+            "iterations": iters,
+            "align_ms_median": round(1000.0 * float(np.median(times)), 3),
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
