@@ -54,9 +54,18 @@ class LidarSlam:
         )
 
     def add_scan(self, points: np.ndarray, stamp: float,
-                 odom: Optional[np.ndarray] = None) -> None:
-        self.bus.publish("input_cloud", {"points": points, "stamp": stamp, "odom": odom})
+                 odom: Optional[np.ndarray] = None,
+                 frame_id: Optional[str] = None) -> None:
+        self.bus.publish(
+            "input_cloud",
+            {"points": points, "stamp": stamp, "odom": odom, "frame_id": frame_id},
+        )
         self.bus.publish("clock", stamp)
+
+    def set_static_transform(self, parent: str, child: str, T) -> None:
+        """Static TF (the launch-file static_transform_publisher equivalent,
+        e.g. base_link->velodyne '1.2 0 2.0' in mapping_car.launch.py)."""
+        self.scan_matcher.tf_buffer.set_static(parent, child, T)
 
     def run(self, scans: Iterable[tuple], imu: Iterable[tuple] = ()) -> dict:
         """Offline batch: merge scan/imu streams by stamp and process.

@@ -14,6 +14,7 @@ from typing import Optional
 
 import numpy as np
 
+from ..core.tf import TransformBuffer, TransformException
 from ..odometry.frontend import FrontendConfig, ScanMatcher
 from .bus import Bus
 
@@ -32,16 +33,20 @@ class ScanMatcherNode:
         cfg: FrontendConfig = FrontendConfig(),
         global_frame_id: str = "map",
         robot_frame_id: str = "base_link",
+        odom_frame_id: str = "odom",
         set_initial_pose: bool = False,
         initial_pose: Optional[np.ndarray] = None,
         map_publish_period: float = 15.0,
         publish_tf: bool = True,
         debug_flag: bool = False,
+        tf_buffer: Optional[TransformBuffer] = None,
     ):
         self.bus = bus
         self.cfg = cfg
         self.global_frame_id = global_frame_id
         self.robot_frame_id = robot_frame_id
+        self.odom_frame_id = odom_frame_id
+        self.tf_buffer = tf_buffer if tf_buffer is not None else TransformBuffer()
         self.map_publish_period = map_publish_period
         self.publish_tf = publish_tf
         self.debug_flag = debug_flag
@@ -81,18 +86,43 @@ class ScanMatcherNode:
         )
 
     def _on_cloud(self, msg: dict) -> None:
-        """msg: {"points": (N,3|4) array, "stamp": float, "odom": 4x4|None}"""
+        """msg: {"points": (N,3|4), "stamp": float,
+        "frame_id": sensor frame (optional), "odom": 4x4|None}"""
         if not self._initial_pose_received:
             print("initial_pose is not received")
             return
         stamp = msg["stamp"]
-        r = self.engine.process_scan(
-            msg["points"], stamp, odom_pose=msg.get("odom")
-        )
+        points = msg["points"]
+        frame = msg.get("frame_id")
+        if frame and frame != self.robot_frame_id:
+            # sensor -> base_link extrinsic (reference cloud_callback :189-199;
+            # failures drop the scan like the reference's catch-and-return)
+            try:
+                points = self.tf_buffer.transform_points(
+                    self.robot_frame_id, frame, stamp, points
+                )
+            except TransformException as e:
+                print(f"tf error: {e}")
+                return
+        odom = msg.get("odom")
+        if odom is None and self.cfg.use_odom:
+            # odom lookup at scan stamp (reference :333-348); on failure the
+            # reference proceeds with the previous guess
+            try:
+                odom = self.tf_buffer.lookup(
+                    self.odom_frame_id, self.robot_frame_id, stamp
+                )
+            except TransformException as e:
+                print(f"tf error: {e}")
+        r = self.engine.process_scan(points, stamp, odom_pose=odom)
         ps = PoseStamped(stamp, self.global_frame_id, r["pose"])
         self.bus.publish("current_pose", ps)
         self.bus.publish("path", self.engine.get_path())
         if self.publish_tf:
+            # map -> base_link broadcast (reference :400-410)
+            self.tf_buffer.set_transform(
+                self.global_frame_id, self.robot_frame_id, r["pose"], stamp
+            )
             self.bus.publish("tf", ps)
         if r["keyframe"]:
             self.bus.publish("map_array", self.engine.map_array)

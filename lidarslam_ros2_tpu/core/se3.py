@@ -108,65 +108,29 @@ def so3_exp(w: jnp.ndarray) -> jnp.ndarray:
 def so3_log(R: jnp.ndarray) -> jnp.ndarray:
     """Inverse Rodrigues: f32[...,3,3] -> f32[...,3] rotation vector.
 
-    Uses the numerically-robust trace formula; handles angles near 0 and
-    near pi (the near-pi branch recovers the axis from the diagonal).
+    Implemented via the quaternion logarithm: ``matrix_to_quat`` (Shepperd,
+    branch-robust) followed by ``rotvec = 2 atan2(|v|, w) / |v| * v``. This
+    is uniformly accurate for all angles including pi (atan2 is perfectly
+    conditioned where arccos blows up) and autodiff-safe near identity (the
+    |v| -> 0 limit uses a series with sanitized denominators — registration
+    and pose-graph solvers differentiate through this).
     """
-    trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
-    cos_t = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    # arccos has an infinite derivative at +-1; solvers differentiate through
-    # this (pose-graph residuals are ~identity at convergence), so theta is
-    # computed from a clipped argument and the identity neighborhood uses a
-    # series in cos_t instead (theta/(2 sin theta) = 1/2 + (1-cos)/6 + ...)
-    small = cos_t > 1.0 - 1e-6
-    # cos(pi - x) = -1 + x^2/2: 5e-7 keeps the low-precision axis-recovery
-    # branch confined to theta > pi - 1e-3
-    near_pi = cos_t < -1.0 + 5e-7
-    cos_safe = jnp.clip(cos_t, -1.0 + 1e-7, 1.0 - 1e-7)
-    theta = jnp.arccos(cos_safe)
-    # generic branch: w = theta/(2 sin theta) * vee(R - R^T)
-    vee = jnp.stack(
-        [
-            R[..., 2, 1] - R[..., 1, 2],
-            R[..., 0, 2] - R[..., 2, 0],
-            R[..., 1, 0] - R[..., 0, 1],
-        ],
-        axis=-1,
-    )
-    sin_t = jnp.sin(theta)
-    scale_generic = theta / (2.0 * sin_t)
-    scale_small = 0.5 + (1.0 - cos_t) / 6.0
-    w_generic = jnp.where(small[..., None], scale_small[..., None], scale_generic[..., None]) * vee
-    # near pi: |w_i| = theta*sqrt((R_ii+1)/2), sign from vee (vee ~ 0 there,
-    # use off-diagonal sums for sign robustness)
-    diag = jnp.stack([R[..., 0, 0], R[..., 1, 1], R[..., 2, 2]], axis=-1)
-    axis_abs = jnp.sqrt(jnp.clip((diag + 1.0) * 0.5, 0.0, 1.0))
-    # signs: pick from the column of the largest axis component
-    off = jnp.stack(
-        [
-            R[..., 1, 0] + R[..., 0, 1],
-            R[..., 2, 1] + R[..., 1, 2],
-            R[..., 0, 2] + R[..., 2, 0],
-        ],
-        axis=-1,
-    )  # products axis_x*axis_y*2 etc.
-    # choose sign so that the largest |component| is positive, then fix the
-    # remaining signs via the symmetric off-diagonal products
-    kmax = jnp.argmax(axis_abs, axis=-1)
-
-    def _signed_axis(axis_abs, off, kmax):
-        sx, sy, sz = axis_abs[..., 0], axis_abs[..., 1], axis_abs[..., 2]
-        oxy, oyz, ozx = off[..., 0], off[..., 1], off[..., 2]
-        # k = 0: x > 0; sign(y) = sign(oxy), sign(z) = sign(ozx)
-        ax0 = jnp.stack([sx, jnp.sign(oxy) * sy, jnp.sign(ozx) * sz], axis=-1)
-        # k = 1: y > 0; sign(x) = sign(oxy), sign(z) = sign(oyz)
-        ax1 = jnp.stack([jnp.sign(oxy) * sx, sy, jnp.sign(oyz) * sz], axis=-1)
-        # k = 2: z > 0; sign(x) = sign(ozx), sign(y) = sign(oyz)
-        ax2 = jnp.stack([jnp.sign(ozx) * sx, jnp.sign(oyz) * sy, sz], axis=-1)
-        sel = jnp.stack([ax0, ax1, ax2], axis=-2)
-        return jnp.take_along_axis(sel, kmax[..., None, None], axis=-2)[..., 0, :]
-
-    w_pi = theta[..., None] * _signed_axis(axis_abs, off, kmax)
-    return jnp.where(near_pi[..., None], w_pi, w_generic)
+    q = matrix_to_quat(R)
+    v = q[..., :3]
+    w = q[..., 3]
+    # shortest rotation: flip to the w >= 0 hemisphere
+    sgn = jnp.where(w < 0.0, -1.0, 1.0)
+    v = v * sgn[..., None]
+    w = w * sgn
+    s2 = jnp.sum(v * v, axis=-1)
+    small = s2 < 1e-12
+    s = jnp.sqrt(jnp.where(small, 1.0, s2))
+    scale_generic = 2.0 * jnp.arctan2(s, w) / s
+    # series: 2 atan2(s, w)/s = 2/w - 2 s^2 / (3 w^3) + O(s^4), w ~ 1
+    ws = jnp.where(jnp.abs(w) < 1e-12, 1.0, w)
+    scale_small = 2.0 / ws - 2.0 * s2 / (3.0 * ws ** 3)
+    scale = jnp.where(small, scale_small, scale_generic)
+    return v * scale[..., None]
 
 
 # ---------------------------------------------------------------------------

@@ -151,22 +151,57 @@ def build_hash_table(
     return VoxelHashTable(slot_coords, slot_idx, rounds)
 
 
+def lookup_hash_table_channels(
+    table: VoxelHashTable, cx: jnp.ndarray, cy: jnp.ndarray, cz: jnp.ndarray
+) -> jnp.ndarray:
+    """Structure-of-arrays lookup: integer coord channels of any shape ->
+    row indices (-1 miss). The channel form keeps every intermediate a large
+    flat array (TPU-friendly tiling; no minor-dim-3 tensors on the hot path).
+    """
+    H = table.size
+    h0 = (
+        cx * jnp.int32(73856093)
+        ^ cy * jnp.int32(19349663)
+        ^ cz * jnp.int32(83492791)
+    ) & jnp.int32(H - 1)
+    scx = table.slot_coords[:, 0]
+    scy = table.slot_coords[:, 1]
+    scz = table.slot_coords[:, 2]
+
+    def body(r, state):
+        done, found = state
+        slot = (h0 + r) & (H - 1)
+        si = jnp.take(table.slot_idx, slot, axis=0)
+        hit = (
+            (jnp.take(scx, slot, axis=0) == cx)
+            & (jnp.take(scy, slot, axis=0) == cy)
+            & (jnp.take(scz, slot, axis=0) == cz)
+            & (si >= 0)
+        )
+        empty = si == -1
+        found = jnp.where(~done & hit, si, found)
+        done = done | hit | empty
+        return done, found
+
+    init = (jnp.zeros(cx.shape, dtype=bool), jnp.full(cx.shape, -1, dtype=jnp.int32))
+    _, found = jax.lax.fori_loop(0, table.max_probes, body, init)
+    return found
+
+
 def lookup_hash_table(table: VoxelHashTable, coords: jnp.ndarray) -> jnp.ndarray:
     """Vectorized lookup: coords i32[..., 3] -> row index i32[...] (-1 miss).
 
-    Probes at most ``table.max_probes`` slots; the while_loop exits as soon as
-    every query hit a match or an empty slot.
+    Probes exactly ``table.max_probes`` rounds (the number the build needed).
+    Deliberately NO data-dependent early exit: an ``all(done)`` check would
+    insert a full-array reduction + branch per probe round, which costs more
+    than the 1-3 unconditional gather rounds ever do.
     """
     H = table.size
     h0 = hash_coords(coords, H)
     out_shape = coords.shape[:-1]
 
-    def cond(state):
-        r, done, _ = state
-        return (r < table.max_probes) & ~jnp.all(done)
-
-    def body(state):
-        r, done, found = state
+    def body(r, state):
+        done, found = state
         slot = (h0 + r) & (H - 1)
         sc = jnp.take(table.slot_coords, slot, axis=0)
         si = jnp.take(table.slot_idx, slot, axis=0)
@@ -174,12 +209,11 @@ def lookup_hash_table(table: VoxelHashTable, coords: jnp.ndarray) -> jnp.ndarray
         empty = si == -1
         found = jnp.where(~done & hit, si, found)
         done = done | hit | empty
-        return r + 1, done, found
+        return done, found
 
     init = (
-        jnp.int32(0),
         jnp.zeros(out_shape, dtype=bool),
         jnp.full(out_shape, -1, dtype=jnp.int32),
     )
-    _, _, found = jax.lax.while_loop(cond, body, init)
+    _, found = jax.lax.fori_loop(0, table.max_probes, body, init)
     return found

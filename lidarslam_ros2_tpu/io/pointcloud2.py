@@ -26,9 +26,34 @@ def pointcloud2_to_xyzi(msg: Dict) -> np.ndarray:
     {name, offset, datatype, count}), ``data`` (bytes), ``is_bigendian``.
     Missing intensity zero-fills; NaN points (common in organized clouds) are
     dropped, like pcl::fromROSMsg + is_dense handling.
+
+    Little-endian payloads take the native C++ fast path when the codec
+    library is available (io/native.py); numpy otherwise.
     """
     n = int(msg["width"]) * int(msg["height"])
     step = int(msg["point_step"])
+
+    if not msg.get("is_bigendian"):
+        fmap = {f["name"]: f for f in msg["fields"]}
+        if all(k in fmap for k in ("x", "y", "z")) and (
+            fmap["x"]["datatype"] == fmap["y"]["datatype"] == fmap["z"]["datatype"]
+        ):
+            from . import native
+
+            fi = fmap.get("intensity")
+            out = native.decode_xyzi(
+                bytes(msg["data"]),
+                n,
+                step,
+                int(fmap["x"]["offset"]),
+                int(fmap["y"]["offset"]),
+                int(fmap["z"]["offset"]),
+                int(fi["offset"]) if fi else -1,
+                int(fmap["x"]["datatype"]),
+                int(fi["datatype"]) if fi else 7,
+            )
+            if out is not None:
+                return out
     raw = np.frombuffer(msg["data"], dtype=np.uint8, count=n * step).reshape(n, step)
     prefix = ">" if msg.get("is_bigendian") else "<"
 

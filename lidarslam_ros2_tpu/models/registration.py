@@ -79,31 +79,76 @@ class GICPConfig:
     lambda_max: float = 1e4
 
 
-def _lm_loop(eval_terms, eval_score, guess, eps, max_iter, lam0, up, down, lam_max):
-    """Generic Levenberg-Marquardt over SE(3) with left perturbation.
+def solve6_chol(H: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
+    """Solve the damped-SPD 6x6 normal equations by fully-unrolled Cholesky.
 
-    ``eval_terms(T) -> (score, grad6, H66, n_corr)``; ``eval_score(T) -> f32``.
-    Runs entirely inside ``lax.while_loop``.
+    ``jnp.linalg.solve`` on a 6x6 costs ~1 ms/iteration on TPU (tiny
+    sequential LU doesn't map to the hardware); unrolling emits ~150 scalar
+    fused ops instead. H must be symmetric positive definite (LM-damped).
+    """
+    L = [[None] * 6 for _ in range(6)]
+    for j in range(6):
+        d = H[j, j]
+        for k in range(j):
+            d = d - L[j][k] * L[j][k]
+        Ljj = jnp.sqrt(jnp.maximum(d, 1e-20))
+        L[j][j] = Ljj
+        inv = 1.0 / Ljj
+        for i in range(j + 1, 6):
+            off = H[i, j]
+            for k in range(j):
+                off = off - L[i][k] * L[j][k]
+            L[i][j] = off * inv
+    # forward substitution L y = g
+    y = [None] * 6
+    for i in range(6):
+        acc = g[i]
+        for k in range(i):
+            acc = acc - L[i][k] * y[k]
+        y[i] = acc / L[i][i]
+    # back substitution L^T x = y
+    x = [None] * 6
+    for i in reversed(range(6)):
+        acc = y[i]
+        for k in range(i + 1, 6):
+            acc = acc - L[k][i] * x[k]
+        x[i] = acc / L[i][i]
+    return jnp.stack(x)
+
+
+def _lm_loop(eval_terms, guess, eps, max_iter, lam0, up, down, lam_max):
+    """Levenberg-Marquardt over SE(3) with left perturbation, ONE full
+    terms-evaluation per iteration: the candidate's (score, grad, Hessian)
+    double as the next iteration's linearization when the step is accepted
+    (rejections — rare — just re-damp and retry from the kept terms).
+
+    ``eval_terms(T) -> (score, grad6, H66, n_corr)``.
+    Runs entirely inside ``lax.while_loop`` — zero host syncs.
     """
 
     def cond(s):
         return ~s["done"]
 
     def body(s):
-        score, g, H, n_corr = eval_terms(s["T"])
         # Levenberg damping scaled to the Hessian diagonal magnitude
-        scale = jnp.trace(H) / 6.0 + 1e-12
-        Hd = H + (s["lam"] * scale) * jnp.eye(6, dtype=H.dtype)
-        delta = -jnp.linalg.solve(Hd, g)
-        # guard against solver blow-ups on degenerate geometry
+        scale = jnp.trace(s["H"]) / 6.0 + 1e-12
+        Hd = s["H"] + (s["lam"] * scale) * jnp.eye(6, dtype=s["H"].dtype)
+        delta = -solve6_chol(Hd, s["g"])
         delta = jnp.where(jnp.all(jnp.isfinite(delta)), delta, jnp.zeros_like(delta))
         T_new = se3.compose(se3.se3_exp(delta), s["T"])
-        new_score = eval_score(T_new)
-        improved = (new_score < score) & (n_corr > 0)
+        new_score, new_g, new_H, new_n = eval_terms(T_new)
+        improved = (new_score < s["score"]) & (new_n > 0)
         dn = jnp.linalg.norm(delta)
-        T = jnp.where(improved, T_new, s["T"])
-        lam = jnp.where(improved, s["lam"] * down, s["lam"] * up)
-        lam = jnp.clip(lam, 1e-10, lam_max * 10.0)
+
+        def pick(a, b):
+            return jnp.where(improved, a, b)
+
+        T = pick(T_new, s["T"])
+        g = jnp.where(improved, new_g, s["g"])
+        H = jnp.where(improved, new_H, s["H"])
+        score = pick(new_score, s["score"])
+        n_corr = jnp.where(improved, new_n, s["n_corr"])
+        lam = jnp.clip(pick(s["lam"] * down, s["lam"] * up), 1e-10, lam_max * 10.0)
         # a small DAMPED step only signals convergence when damping is low —
         # otherwise LM backoff near a barrier crest would masquerade as an
         # optimum (PCL's epsilon check is on the undamped Newton increment)
@@ -111,18 +156,22 @@ def _lm_loop(eval_terms, eval_score, guess, eps, max_iter, lam0, up, down, lam_m
         it = s["it"] + 1
         done = converged | (it >= max_iter) | (lam > lam_max)
         return dict(
-            T=T, lam=lam, it=it, done=done, converged=converged,
-            score=jnp.where(improved, new_score, score), n_corr=n_corr,
+            T=T, g=g, H=H, lam=lam, it=it, done=done, converged=converged,
+            score=score, n_corr=n_corr,
         )
 
+    T0 = guess.astype(jnp.float32)
+    score0, g0, H0, n0 = eval_terms(T0)
     state = dict(
-        T=guess.astype(jnp.float32),
+        T=T0,
+        g=g0,
+        H=H0,
         lam=jnp.float32(lam0),
         it=jnp.int32(0),
-        done=jnp.bool_(False),
+        done=jnp.asarray(n0 == 0),  # empty overlap: nothing to optimize
         converged=jnp.bool_(False),
-        score=jnp.float32(jnp.inf),
-        n_corr=jnp.int32(0),
+        score=score0,
+        n_corr=n0,
     )
     out = jax.lax.while_loop(cond, body, state)
     return out["T"], out["converged"], out["it"], out["score"], out["n_corr"]
@@ -166,12 +215,8 @@ def ndt_align(
     def eval_terms(T):
         return ndt_ops.ndt_score_terms(target.ndt, xyz, valid, T, offsets)
 
-    def eval_score(T):
-        return ndt_ops.ndt_score_only(target.ndt, xyz, valid, T, offsets)
-
     T, converged, it, score, n_corr = _lm_loop(
         eval_terms,
-        eval_score,
         guess,
         cfg.transformation_epsilon,
         cfg.max_iterations,
@@ -224,12 +269,8 @@ def gicp_align(
     def eval_terms(T):
         return gicp_ops.gicp_score_terms(target.dist, xyz, valid, source_cov, T, max_d2)
 
-    def eval_score(T):
-        return gicp_ops.gicp_score_only(target.dist, xyz, valid, source_cov, T, max_d2)
-
     T, converged, it, score, n_corr = _lm_loop(
         eval_terms,
-        eval_score,
         guess,
         cfg.transformation_epsilon,
         cfg.max_iterations,

@@ -27,9 +27,11 @@ from ..core.voxel import (
     VoxelHashTable,
     build_hash_table,
     lookup_hash_table,
+    lookup_hash_table_channels,
     voxel_coords,
 )
-from .ndt import DIRECT7_OFFSETS
+from .gn_terms import gn_terms_channels, inv3x3_sym_channels
+from .ndt import DIRECT7_OFFSETS, build_hash_rows, probe_hash_rows
 from .voxelize import voxel_stats
 
 
@@ -79,6 +81,8 @@ class GICPTarget(NamedTuple):
     mean: jnp.ndarray  # f32[V,3]
     cov: jnp.ndarray  # f32[V,3,3] plane-regularized
     valid: jnp.ndarray  # bool[V]
+    packed: jnp.ndarray  # f32[V,12]: mu(3), cov upper(6), valid(1), pad(2)
+    hash_rows: jnp.ndarray  # f32[H,16] fused probe+stats rows (see ops/ndt.py)
     table: VoxelHashTable
     inv_leaf: jnp.ndarray
 
@@ -96,11 +100,26 @@ def build_gicp_target(
     cov = plane_regularize(stats.cov, plane_epsilon)
     cov = jnp.where(stats.valid[:, None, None], cov, jnp.eye(3, dtype=cov.dtype))
     table = build_hash_table(stats.coords, stats.valid, table_size=2 * voxel_capacity)
+    packed = jnp.concatenate(
+        [
+            stats.mean,
+            jnp.stack(
+                [cov[:, 0, 0], cov[:, 0, 1], cov[:, 0, 2],
+                 cov[:, 1, 1], cov[:, 1, 2], cov[:, 2, 2]],
+                axis=-1,
+            ),
+            stats.valid.astype(jnp.float32)[:, None],
+            jnp.zeros((cov.shape[0], 2), jnp.float32),
+        ],
+        axis=-1,
+    )
     return GICPTarget(
         coords=stats.coords,
         mean=stats.mean,
         cov=cov,
         valid=stats.valid,
+        packed=packed,
+        hash_rows=build_hash_rows(table, packed),
         table=table,
         inv_leaf=jnp.asarray(1.0 / resolution, dtype=jnp.float32),
     )
@@ -158,32 +177,85 @@ def gicp_score_terms(
     T: jnp.ndarray,
     max_d2: float,
 ):
-    """(score, grad6, H66, n_corr) of the plane-to-plane objective at T."""
-    R = se3.rotation(T)
-    q = se3.transform_points(T, xyz)
-    row, hit = _correspond(target, q, valid, max_d2)
-    safe = jnp.maximum(row, 0)
-    mu = target.mean[safe]
-    ct = target.cov[safe]
-    cs = jnp.einsum("ij,njk,lk->nil", R, src_cov, R)
-    M = _inv3x3(ct + cs)  # f32[N,3,3]
-    r = q - mu
-    w = hit.astype(q.dtype)
-    Mr = jnp.einsum("nij,nj->ni", M, r) * w[:, None]
-    score = jnp.sum(r * Mr)
+    """(score, grad6, H66, n_corr) of the plane-to-plane objective at T.
 
-    # J = [I | -skew(q)]; g = J^T M r ; H = J^T M J
-    g_t = jnp.sum(Mr, axis=0)
-    g_w = jnp.sum(jnp.cross(q, Mr), axis=0)
-    grad = jnp.concatenate([g_t, g_w]) * 2.0
+    Structure-of-arrays like ops/ndt.py: flat channel math only — the
+    [N,3,3] einsum form runs batched 3x3 dot_generals that strand the MXU.
+    """
+    R, t = T[:3, :3], T[:3, 3]
+    px, py, pz = xyz[:, 0], xyz[:, 1], xyz[:, 2]
+    qx = R[0, 0] * px + R[0, 1] * py + R[0, 2] * pz + t[0]
+    qy = R[1, 0] * px + R[1, 1] * py + R[1, 2] * pz + t[1]
+    qz = R[2, 0] * px + R[2, 1] * py + R[2, 2] * pz + t[2]
 
-    G = -se3.skew(q)  # f32[N,3,3]
-    Mw = M * w[:, None, None]
-    MG = jnp.einsum("nij,njl->nil", Mw, G)
-    H_tt = jnp.sum(Mw, axis=0)
-    H_tw = jnp.sum(MG, axis=0)
-    H_ww = jnp.sum(jnp.einsum("nji,njl->nil", G, MG), axis=0)
-    H = jnp.block([[H_tt, H_tw], [H_tw.T, H_ww]]) * 2.0
+    # correspondence: nearest Gaussian among DIRECT7 neighbor voxels, via the
+    # fused hash-row probe (one row gather per probe round for coords + mu +
+    # cov). Best-of-7 selection is an unrolled elementwise min — gather-free.
+    cx = jnp.floor(qx * target.inv_leaf).astype(jnp.int32)
+    cy = jnp.floor(qy * target.inv_leaf).astype(jnp.int32)
+    cz = jnp.floor(qz * target.inv_leaf).astype(jnp.int32)
+    off = DIRECT7_OFFSETS
+    ch7 = probe_hash_rows(
+        target.hash_rows,
+        target.table.max_probes,
+        cx[None, :] + off[:, 0:1],
+        cy[None, :] + off[:, 1:2],
+        cz[None, :] + off[:, 2:3],
+    )  # 10 channels, each [7, N]
+    occ7 = ch7[9]
+    d2_7 = (
+        (qx[None] - ch7[0]) ** 2
+        + (qy[None] - ch7[1]) ** 2
+        + (qz[None] - ch7[2]) ** 2
+    )
+    d2_7 = jnp.where(occ7 > 0.5, d2_7, jnp.inf)
+    best_d2 = d2_7[0]
+    best = [c[0] for c in ch7[:9]]
+    for k in range(1, off.shape[0]):
+        better = d2_7[k] < best_d2
+        best = [jnp.where(better, c[k], b) for c, b in zip(ch7[:9], best)]
+        best_d2 = jnp.minimum(best_d2, d2_7[k])
+    mux, muy, muz, t00, t01, t02, t11, t12, t22 = best
+    hit = valid & (best_d2 <= max_d2)
+    w = hit.astype(qx.dtype)
+
+    # rotate the source covariance: C = R Sigma_s R^T, channel algebra
+    u00 = src_cov[:, 0, 0]
+    u01 = src_cov[:, 0, 1]
+    u02 = src_cov[:, 0, 2]
+    u11 = src_cov[:, 1, 1]
+    u12 = src_cov[:, 1, 2]
+    u22 = src_cov[:, 2, 2]
+    # P = R Sigma_s  (rows of R are scalars)
+    P = [[None] * 3 for _ in range(3)]
+    Su = ((u00, u01, u02), (u01, u11, u12), (u02, u12, u22))
+    for a in range(3):
+        for k in range(3):
+            P[a][k] = R[a, 0] * Su[0][k] + R[a, 1] * Su[1][k] + R[a, 2] * Su[2][k]
+
+    def C(a, b):
+        return P[a][0] * R[b, 0] + P[a][1] * R[b, 1] + P[a][2] * R[b, 2]
+
+    a00 = t00 + C(0, 0)
+    a01 = t01 + C(0, 1)
+    a02 = t02 + C(0, 2)
+    a11 = t11 + C(1, 1)
+    a12 = t12 + C(1, 2)
+    a22 = t22 + C(2, 2)
+    m00, m01, m02, m11, m12, m22 = inv3x3_sym_channels(a00, a01, a02, a11, a12, a22)
+
+    rx = qx - mux
+    ry = qy - muy
+    rz = qz - muz
+    ax = m00 * rx + m01 * ry + m02 * rz
+    ay = m01 * rx + m11 * ry + m12 * rz
+    az = m02 * rx + m12 * ry + m22 * rz
+    score = jnp.sum(w * (rx * ax + ry * ay + rz * az))
+
+    coef = 2.0 * w
+    grad, H = gn_terms_channels(
+        coef, qx, qy, qz, ax, ay, az, m00, m01, m02, m11, m12, m22
+    )
     return score, grad, H, jnp.sum(hit.astype(jnp.int32))
 
 

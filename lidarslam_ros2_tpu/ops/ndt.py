@@ -18,11 +18,18 @@ from __future__ import annotations
 
 from typing import NamedTuple, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from ..core import se3
 from ..core.pointcloud import PointCloud
-from ..core.voxel import VoxelHashTable, build_hash_table, lookup_hash_table
+from ..core.voxel import (
+    VoxelHashTable,
+    build_hash_table,
+    lookup_hash_table,
+    lookup_hash_table_channels,
+)
+from .gn_terms import gn_terms_channels
 from .voxelize import VoxelStats, voxel_stats
 
 # DIRECT7: the containing voxel + its 6 face neighbors.
@@ -57,14 +64,45 @@ def gauss_constants(resolution: float, outlier_ratio: float = 0.55):
 
 
 class NDTTarget(NamedTuple):
-    """Compiled NDT target model: voxel Gaussians + hash index + raw points
-    (the raw points back the fitness-score NN query)."""
+    """Compiled NDT target model: voxel Gaussians + hash index.
+
+    TPU gathers are index-bound (~1 ms per ~100k-index gather regardless of
+    row width), so the hot loop must issue as FEW gather ops as possible.
+    ``hash_rows f32[H, 16]`` fuses the hash probe and the stats fetch into a
+    single row gather per probe round: each slot stores
+    ``[cx, cy, cz (exact small ints in f32) | mu(3) | inv_cov upper(6) |
+    occupied(1) | pad(3)]`` — a DIRECT7 evaluation then costs just
+    ``max_probes`` (typically 2) gathers total, instead of per-probe coord
+    gathers plus per-channel stats gathers.
+
+    ``packed f32[V, 12]`` (mu, inv_cov upper, occupied) and ``stats`` remain
+    for diagnostics/tests and non-hot-path consumers.
+    """
 
     stats: VoxelStats
+    packed: jnp.ndarray
+    hash_rows: jnp.ndarray
     table: VoxelHashTable
     inv_leaf: jnp.ndarray  # f32 scalar
     d1: jnp.ndarray
     d2: jnp.ndarray
+
+
+def _pack_stats(stats: VoxelStats) -> jnp.ndarray:
+    S = stats.inv_cov
+    packed = jnp.concatenate(
+        [
+            stats.mean,
+            jnp.stack(
+                [S[:, 0, 0], S[:, 0, 1], S[:, 0, 2], S[:, 1, 1], S[:, 1, 2], S[:, 2, 2]],
+                axis=-1,
+            ),
+            stats.valid.astype(jnp.float32)[:, None],
+            jnp.zeros((stats.mean.shape[0], 2), jnp.float32),
+        ],
+        axis=-1,
+    )
+    return packed
 
 
 def build_ndt_target(
@@ -79,13 +117,98 @@ def build_ndt_target(
     stats = voxel_stats(cloud, resolution, voxel_capacity, min_points=min_points)
     table = build_hash_table(stats.coords, stats.valid, table_size=2 * voxel_capacity)
     d1, d2 = gauss_constants(resolution, outlier_ratio)
+    packed = _pack_stats(stats)
     return NDTTarget(
         stats=stats,
+        packed=packed,
+        hash_rows=build_hash_rows(table, packed),
         table=table,
         inv_leaf=jnp.asarray(1.0 / resolution, dtype=jnp.float32),
         d1=jnp.asarray(d1, dtype=jnp.float32),
         d2=jnp.asarray(d2, dtype=jnp.float32),
     )
+
+
+def build_hash_rows(table: VoxelHashTable, packed: jnp.ndarray) -> jnp.ndarray:
+    """Fuse hash slots with their stats rows -> f32[H,16] (see NDTTarget)."""
+    H = table.slot_idx.shape[0]
+    occupied = table.slot_idx >= 0
+    src = packed[jnp.maximum(table.slot_idx, 0)]  # [H,12] one-time gather
+    coords_f = table.slot_coords.astype(jnp.float32)
+    # empty slots: coordinates that can never match a live query
+    coords_f = jnp.where(occupied[:, None], coords_f, jnp.float32(2.0e9))
+    occ = src[:, 9:10] * occupied.astype(jnp.float32)[:, None]
+    return jnp.concatenate(
+        [coords_f, src[:, 0:9], occ, jnp.zeros((H, 3), jnp.float32)], axis=1
+    )
+
+
+def probe_hash_rows(
+    hash_rows: jnp.ndarray,
+    max_probes: jnp.ndarray,
+    cx: jnp.ndarray,
+    cy: jnp.ndarray,
+    cz: jnp.ndarray,
+):
+    """Probe the fused table for integer coord channels of any shape.
+
+    Returns the 10 stats channels (mu x3, S upper x6, occupied) of the
+    matching row, zeros when missing. ONE row gather per probe round.
+    """
+    H = hash_rows.shape[0]
+    h0 = (
+        cx * jnp.int32(73856093)
+        ^ cy * jnp.int32(19349663)
+        ^ cz * jnp.int32(83492791)
+    ) & jnp.int32(H - 1)
+    cxf = cx.astype(jnp.float32)
+    cyf = cy.astype(jnp.float32)
+    czf = cz.astype(jnp.float32)
+    out = jnp.zeros(cx.shape + (13,), jnp.float32)
+    found = jnp.zeros(cx.shape, bool)
+
+    def body(r, state):
+        out, found = state
+        slot = (h0 + r) & (H - 1)
+        rows = jnp.take(hash_rows, slot, axis=0)  # [..., 16]
+        match = (
+            (rows[..., 0] == cxf) & (rows[..., 1] == cyf) & (rows[..., 2] == czf)
+        )
+        take = match & ~found
+        out = jnp.where(take[..., None], rows[..., 3:16], out)
+        return out, found | match
+
+    out, found = jax.lax.fori_loop(0, max_probes, body, (out, found))
+    occ = out[..., 9] * found.astype(jnp.float32)
+    return (
+        out[..., 0], out[..., 1], out[..., 2],  # mu
+        out[..., 3], out[..., 4], out[..., 5], out[..., 6], out[..., 7], out[..., 8],
+        occ,
+    )
+
+
+def _gather_gaussians(target: NDTTarget, q: jnp.ndarray, valid: jnp.ndarray,
+                      offsets: jnp.ndarray):
+    """Shared correspondence step: hash-probe DIRECT-K neighbors and gather
+    their packed Gaussian rows. Returns (mu, S, hit) with
+    mu f32[N,K,3], S f32[N,K,3,3], hit bool[N,K]."""
+    coords = jnp.floor(q * target.inv_leaf).astype(jnp.int32)
+    ncoords = coords[:, None, :] + offsets[None, :, :]
+    idx = lookup_hash_table(target.table, ncoords)  # i32[N,K]
+    hit = (idx >= 0) & valid[:, None]
+    rows = target.packed[jnp.maximum(idx, 0)]  # f32[N,K,12] — ONE gather
+    mu = rows[..., 0:3]
+    s = rows[..., 3:9]
+    S = jnp.stack(
+        [
+            jnp.stack([s[..., 0], s[..., 1], s[..., 2]], axis=-1),
+            jnp.stack([s[..., 1], s[..., 3], s[..., 4]], axis=-1),
+            jnp.stack([s[..., 2], s[..., 4], s[..., 5]], axis=-1),
+        ],
+        axis=-2,
+    )
+    hit = hit & (rows[..., 9] > 0.5)
+    return mu, S, hit
 
 
 def ndt_score_terms(
@@ -105,43 +228,52 @@ def ndt_score_terms(
     PSD Gauss-Newton part ``(-d1 d2 e) * J^T S J`` (full-Newton second-order
     terms are dropped; LM damping in the solver covers the difference — see
     models/registration.py).
+
+    Implementation is structure-of-arrays: every intermediate is a flat
+    [K, N] channel array. Tensor-of-small-matrices forms ([N, K, 3, 3]
+    einsums) lower to batched 3x3 dot_generals that strand the MXU at <1%
+    utilization — the channel form stays on the VPU at full lane width.
     """
-    q = se3.transform_points(T, xyz)  # f32[N,3]
-    coords = jnp.floor(q * target.inv_leaf).astype(jnp.int32)  # i32[N,3]
-    ncoords = coords[:, None, :] + offsets[None, :, :]  # i32[N,K,3]
-    idx = lookup_hash_table(target.table, ncoords)  # i32[N,K]
-    hit = (idx >= 0) & valid[:, None]
-    safe = jnp.maximum(idx, 0)
-    mu = target.stats.mean[safe]  # f32[N,K,3]
-    S = target.stats.inv_cov[safe]  # f32[N,K,3,3]
+    K = offsets.shape[0]
+    R, t = T[:3, :3], T[:3, 3]
+    # transformed point channels [N]
+    px, py, pz = xyz[:, 0], xyz[:, 1], xyz[:, 2]
+    qx = R[0, 0] * px + R[0, 1] * py + R[0, 2] * pz + t[0]
+    qy = R[1, 0] * px + R[1, 1] * py + R[1, 2] * pz + t[1]
+    qz = R[2, 0] * px + R[2, 1] * py + R[2, 2] * pz + t[2]
 
-    x = q[:, None, :] - mu  # f32[N,K,3]
-    Sx = jnp.einsum("nkij,nkj->nki", S, x)
-    m = jnp.sum(x * Sx, axis=-1)  # Mahalanobis^2, f32[N,K]
-    # clamp like PCL: skip terms whose exponent underflows / is non-finite
-    e = jnp.exp(-0.5 * target.d2 * m)
-    w = jnp.where(hit, e, 0.0)
-    score = target.d1 * jnp.sum(w)
+    cx = jnp.floor(qx * target.inv_leaf).astype(jnp.int32)
+    cy = jnp.floor(qy * target.inv_leaf).astype(jnp.int32)
+    cz = jnp.floor(qz * target.inv_leaf).astype(jnp.int32)
+    # neighbor channels [K, N] (minor dim N: full-width tiles); the fused
+    # hash-row probe costs ONE row gather per probe round for everything
+    (mux, muy, muz, s00, s01, s02, s11, s12, s22, occ) = probe_hash_rows(
+        target.hash_rows,
+        target.table.max_probes,
+        cx[None, :] + offsets[:, 0:1],
+        cy[None, :] + offsets[:, 1:2],
+        cz[None, :] + offsets[:, 2:3],
+    )
+    hit = (occ > 0.5) & valid[None, :]
+    w_hit = hit.astype(qx.dtype)
 
-    coef = (-target.d1 * target.d2) * w  # f32[N,K], positive (d1 < 0)
-    # J = [ I | -skew(q) ]  (3x6); a = S x
-    a = Sx
-    grad_t = jnp.sum(coef[..., None] * a, axis=(0, 1))  # f32[3]
-    qxa = jnp.cross(jnp.broadcast_to(q[:, None, :], a.shape), a)  # q x a, f32[N,K,3]
-    grad_w = jnp.sum(coef[..., None] * qxa, axis=(0, 1))
-    grad = jnp.concatenate([grad_t, grad_w])
+    xx = qx[None, :] - mux  # residual channels [K,N]
+    xy = qy[None, :] - muy
+    xz = qz[None, :] - muz
+    ax = s00 * xx + s01 * xy + s02 * xz  # a = S x
+    ay = s01 * xx + s11 * xy + s12 * xz
+    az = s02 * xx + s12 * xy + s22 * xz
+    m = xx * ax + xy * ay + xz * az  # Mahalanobis^2
+    e = jnp.exp(-0.5 * target.d2 * m) * w_hit
+    score = target.d1 * jnp.sum(e)
+    coef = (-target.d1 * target.d2) * e  # positive (d1 < 0)
 
-    # H = sum coef * J^T S J, assembled blockwise:
-    #   [  S        S G ]      with G = -skew(q),  all 3x3
-    #   [ G^T S   G^T S G]
-    G = -se3.skew(q)  # f32[N,3,3]
-    SG = jnp.einsum("nkij,njl->nkil", S, G)
-    H_tt = jnp.sum(coef[..., None, None] * S, axis=(0, 1))
-    H_tw = jnp.sum(coef[..., None, None] * SG, axis=(0, 1))
-    GtSG = jnp.einsum("nji,nkjl->nkil", G, SG)
-    H_ww = jnp.sum(coef[..., None, None] * GtSG, axis=(0, 1))
-    H = jnp.block([[H_tt, H_tw], [H_tw.T, H_ww]])
-
+    grad, H = gn_terms_channels(
+        coef,
+        qx[None, :], qy[None, :], qz[None, :],
+        ax, ay, az,
+        s00, s01, s02, s11, s12, s22,
+    )
     n_corr = jnp.sum(hit.astype(jnp.int32))
     return score, grad, H, n_corr
 
@@ -153,15 +285,10 @@ def ndt_score_only(
     T: jnp.ndarray,
     offsets: jnp.ndarray = DIRECT7_OFFSETS,
 ) -> jnp.ndarray:
-    """Cheap score evaluation (no derivatives) for LM step acceptance."""
+    """Cheap score evaluation (no derivatives), used by tests/diagnostics —
+    the LM solver re-uses full-terms evaluations instead (one eval/iter)."""
     q = se3.transform_points(T, xyz)
-    coords = jnp.floor(q * target.inv_leaf).astype(jnp.int32)
-    ncoords = coords[:, None, :] + offsets[None, :, :]
-    idx = lookup_hash_table(target.table, ncoords)
-    hit = (idx >= 0) & valid[:, None]
-    safe = jnp.maximum(idx, 0)
-    mu = target.stats.mean[safe]
-    S = target.stats.inv_cov[safe]
+    mu, S, hit = _gather_gaussians(target, q, valid, offsets)
     x = q[:, None, :] - mu
     m = jnp.einsum("nki,nkij,nkj->nk", x, S, x)
     e = jnp.exp(-0.5 * target.d2 * m)

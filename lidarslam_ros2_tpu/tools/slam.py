@@ -1,0 +1,141 @@
+"""Offline SLAM runner — the ``ros2 launch lidarslam lidarslam.launch.py``
+equivalent (reference recipe README.md:123-165): replay a rosbag2 / PCD
+directory through the composed pipeline with a reference-format params YAML,
+write path/map/pose-graph artifacts.
+
+    python -m lidarslam_ros2_tpu.tools.slam \
+        --bag hdl_400.db3 --params param/lidarslam.yaml --output out/ \
+        --cloud-topic /velodyne_points --imu-topic /imu
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import time
+
+import numpy as np
+
+
+def _iter_bag(args):
+    from ..io.pointcloud2 import pointcloud2_to_xyzi
+    from ..io.rosbag2 import Rosbag2Reader
+
+    reader = Rosbag2Reader(args.bag)
+    names = reader.topic_names()
+    print(f"bag topics: {names}")
+    for topic, ts, msg in reader.messages():
+        if topic == args.cloud_topic:
+            yield "scan", msg["header"]["stamp"], pointcloud2_to_xyzi(msg), msg[
+                "header"
+            ]["frame_id"]
+        elif topic == args.imu_topic:
+            yield "imu", msg["stamp"], msg, None
+
+
+def _iter_pcd_dir(args):
+    from ..io.pcd import load_pcd
+
+    files = sorted(glob.glob(os.path.join(args.pcd_dir, "*.pcd")))
+    for k, f in enumerate(files):
+        yield "scan", k * args.scan_period, load_pcd(f), None
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--bag", help="rosbag2 .db3 file")
+    src.add_argument("--pcd-dir", help="directory of ordered .pcd scans")
+    ap.add_argument("--params", default=None, help="reference-format params yaml")
+    ap.add_argument("--output", default="slam_output")
+    ap.add_argument("--cloud-topic", default="/input_cloud")
+    ap.add_argument("--imu-topic", default="/imu")
+    ap.add_argument("--scan-period", type=float, default=0.1)
+    ap.add_argument("--max-scans", type=int, default=0)
+    ap.add_argument(
+        "--static-tf",
+        default=None,
+        help="sensor extrinsic 'x y z qx qy qz qw' base_link<-sensor "
+        "(the launch-file static_transform_publisher equivalent)",
+    )
+    args = ap.parse_args(argv)
+
+    from ..api.config import load_yaml
+    from ..api.lidarslam import LidarSlam
+    from ..core import se3
+    from ..graph.backend import BackendConfig
+    from ..io.pcd import save_pcd
+    from ..odometry.frontend import FrontendConfig
+    import jax.numpy as jnp
+
+    os.makedirs(args.output, exist_ok=True)
+    if args.params:
+        fcfg, opts, bcfg = load_yaml(args.params)
+        set_init = opts.set_initial_pose
+        init_pose = opts.initial_pose
+        node_kw = dict(
+            global_frame_id=opts.global_frame_id,
+            robot_frame_id=opts.robot_frame_id,
+            publish_tf=opts.publish_tf,
+            map_publish_period=opts.map_publish_period,
+            debug_flag=opts.debug_flag,
+        )
+    else:
+        fcfg, bcfg = FrontendConfig(), BackendConfig()
+        set_init, init_pose, node_kw = True, None, {}
+    bcfg = type(bcfg)(**{**bcfg.__dict__,
+                         "pose_graph_path": os.path.join(args.output, "pose_graph.g2o"),
+                         "map_pcd_path": os.path.join(args.output, "map.pcd")})
+
+    app = LidarSlam(fcfg, bcfg, set_initial_pose=set_init,
+                    initial_pose=init_pose, **node_kw)
+    if args.static_tf:
+        v = [float(x) for x in args.static_tf.split()]
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = np.asarray(se3.quat_to_matrix(jnp.asarray(v[3:7])))
+        T[:3, 3] = v[:3]
+        app.set_static_transform(node_kw.get("robot_frame_id", "base_link"),
+                                 "sensor", T)
+
+    stream = _iter_bag(args) if args.bag else _iter_pcd_dir(args)
+    n_scans = 0
+    t0 = time.perf_counter()
+    for kind, ts, payload, frame in stream:
+        if kind == "imu":
+            app.add_imu(payload["angular_velocity"],
+                        payload["linear_acceleration"],
+                        payload["orientation"], ts)
+        else:
+            app.add_scan(payload, ts, frame_id=None)
+            n_scans += 1
+            if args.max_scans and n_scans >= args.max_scans:
+                break
+    wall = time.perf_counter() - t0
+
+    app.map_save()
+    res = app.results()
+    path = res["path"]
+    np.save(os.path.join(args.output, "path.npy"), path)
+    if res["modified_path"] is not None:
+        np.save(os.path.join(args.output, "modified_path.npy"), res["modified_path"])
+    save_pcd(os.path.join(args.output, "map.pcd"), res["map"])
+    summary = {
+        "scans": n_scans,
+        "submaps": len(res["map_array"]),
+        "loop_edges": len(res["loop_edges"]),
+        "wall_s": round(wall, 2),
+        "scans_per_s": round(n_scans / max(wall, 1e-9), 2),
+        "trajectory_length_m": float(
+            np.sum(np.linalg.norm(np.diff(path[:, :3, 3], axis=0), axis=1))
+        ) if len(path) > 1 else 0.0,
+    }
+    with open(os.path.join(args.output, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
