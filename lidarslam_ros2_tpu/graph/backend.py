@@ -103,6 +103,13 @@ class GraphBasedSlam:
         self.map_array = map_array.copy()
         self._map_array_updated = True
 
+    def restore(self, map_array: MapArray, loop_edges: List[LoopEdge]) -> None:
+        """Resume from a checkpoint: previously accepted loop edges keep
+        constraining future pose adjustments (the reference accumulates
+        loop_edges_ for the process lifetime, header :142)."""
+        self.receive_map_array(map_array)
+        self.loop_edges = list(loop_edges)
+
     # -- loop detection (reference searchLoop, :145-260) ----------------------
     def search_loop(self) -> Optional[LoopEdge]:
         cfg = self.cfg

@@ -358,6 +358,33 @@ class ScanMatcher:
             )
         )
 
+    # -- checkpoint / resume (no reload path exists in the reference) --------
+    def restore(self, map_array: MapArray) -> None:
+        """Resume mapping from a checkpointed MapArray: reload the last
+        ``num_targeted_cloud`` keyframes into the device ring, rebuild the
+        registration target, and continue from the last keyframe pose."""
+        if self._initialized:
+            raise RuntimeError("restore() must run before the first scan")
+        if len(map_array) == 0:
+            raise ValueError("empty map_array")
+        cfg = self.cfg
+        self.map_array = map_array
+        last = map_array.submaps[-1]
+        self._initial_pose = last.pose
+        state = self._empty_state()
+        K = cfg.num_targeted_cloud
+        for s in map_array.submaps[-K:]:
+            cloud = PointCloud.from_numpy(s.cloud, cfg.keyframe_capacity)
+            state = state._replace(
+                pose=jnp.asarray(s.pose), trans=jnp.float32(0.0)
+            )
+            state = keyframe_update(cfg, state, cloud)
+        self.state = state._replace(
+            latest_distance=jnp.float32(last.distance),
+            previous_position=jnp.asarray(last.pose[:3, 3]),
+        )
+        self._initialized = True
+
     # -- outputs -----------------------------------------------------------
     def current_pose(self) -> np.ndarray:
         return np.asarray(self.state.pose)

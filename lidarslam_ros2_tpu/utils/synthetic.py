@@ -93,9 +93,11 @@ def simulate_scan(
     )
     # per-revolution azimuth phase jitter, like a real spinning unit — without
     # it consecutive scans share the exact ray pattern and scan matching can
-    # lock onto the near-field ring structure instead of the geometry
+    # lock onto the near-field ring structure instead of the geometry.
+    # Azimuth DECREASES along the sweep so that the LOAM-convention scan
+    # angle ori = -atan2(y, x) increases monotonically (deskew relies on it).
     phase = rng.uniform(0.0, 2 * np.pi / lidar.n_azimuth)
-    azi = np.linspace(-np.pi, np.pi, lidar.n_azimuth, endpoint=False) + phase
+    azi = np.linspace(np.pi, -np.pi, lidar.n_azimuth, endpoint=False) + phase
     E, A = np.meshgrid(elev, azi)  # (n_azimuth, n_rings): azimuth-major order
     dirs = np.stack(
         [np.cos(E) * np.cos(A), np.cos(E) * np.sin(A), np.sin(E)], axis=-1
