@@ -29,7 +29,7 @@ import numpy as np
 
 from ..core import se3
 from ..core.map_array import MapArray, SubMap
-from ..core.pointcloud import PointCloud, concat
+from ..core.pointcloud import PointCloud
 from ..models import registration as reg
 from ..ops import gicp as gicp_ops
 from ..ops.deskew import ImuHistory, deskew
@@ -172,6 +172,23 @@ def register_scan(
 
 
 @partial(jax.jit, static_argnames=("cfg",))
+def frontend_step(
+    cfg: FrontendConfig,
+    state: FrontendState,
+    raw: PointCloud,
+    imu: ImuHistory,
+    odom: jnp.ndarray,
+    has_odom: jnp.ndarray,
+):
+    """Fused preprocess + register in ONE dispatch (each dispatch through a
+    remote-attached TPU costs a fixed ~30 ms floor; a production frontend
+    pays it once per scan, not once per stage)."""
+    filtered_raw, source = preprocess(cfg, raw, imu)
+    new_state, out = register_scan(cfg, state, source, odom, has_odom)
+    return filtered_raw, new_state, out
+
+
+@partial(jax.jit, static_argnames=("cfg",))
 def keyframe_update(
     cfg: FrontendConfig, state: FrontendState, filtered_raw: PointCloud
 ) -> FrontendState:
@@ -268,9 +285,8 @@ class ScanMatcher:
         raw = PointCloud.from_numpy(points, cfg.scan_capacity)
         imu_hist = self.imu.snapshot(ref_time=stamp)
 
-        filtered_raw, source = preprocess(cfg, raw, imu_hist)
-
         if not self._initialized:
+            filtered_raw, _ = preprocess(cfg, raw, imu_hist)
             self._init_map(filtered_raw, stamp)
             self._initialized = True
 
@@ -280,8 +296,14 @@ class ScanMatcher:
             else jnp.eye(4, dtype=jnp.float32)
         )
         has_odom = jnp.asarray(odom_pose is not None)
-        self.state, out = register_scan(cfg, self.state, source, odom, has_odom)
+        filtered_raw, self.state, out = frontend_step(
+            cfg, self.state, raw, imu_hist, odom, has_odom
+        )
 
+        # ONE batched device->host transfer for all per-scan outputs — each
+        # individual float()/bool() fetch is a full round-trip (expensive on
+        # remote-attached TPUs)
+        out = jax.device_get(out)
         pose_np = np.asarray(out.pose)
         self.path.append(pose_np)
         result = {
