@@ -27,7 +27,6 @@ from ..core.pointcloud import PointCloud
 from ..ops import gicp as gicp_ops
 from ..ops import ndt as ndt_ops
 from ..ops.nn import fitness_score
-from ..ops.voxelize import voxel_downsample
 
 
 class RegistrationResult(NamedTuple):

@@ -27,7 +27,6 @@ from ..core.voxel import (
     VoxelHashTable,
     build_hash_table,
     lookup_hash_table,
-    lookup_hash_table_channels,
     voxel_coords,
 )
 from .gn_terms import gn_terms_channels, inv3x3_sym_channels

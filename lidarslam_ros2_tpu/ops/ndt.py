@@ -27,7 +27,6 @@ from ..core.voxel import (
     VoxelHashTable,
     build_hash_table,
     lookup_hash_table,
-    lookup_hash_table_channels,
 )
 from .gn_terms import gn_terms_channels
 from .voxelize import VoxelStats, voxel_stats
