@@ -60,6 +60,17 @@ def main(argv=None) -> int:
         help="sensor extrinsic 'x y z qx qy qz qw' base_link<-sensor "
         "(the launch-file static_transform_publisher equivalent)",
     )
+    ap.add_argument(
+        "--frontend-only",
+        action="store_true",
+        help="run the scan matcher without the backend (the reference's "
+        "standalone scanmatcher_node, e.g. mapping_robot.launch.py)",
+    )
+    ap.add_argument(
+        "--checkpoint",
+        default=None,
+        help="also write a resumable SLAM-state checkpoint (.npz) at the end",
+    )
     args = ap.parse_args(argv)
 
     from ..api.config import load_yaml
@@ -89,8 +100,50 @@ def main(argv=None) -> int:
                          "pose_graph_path": os.path.join(args.output, "pose_graph.g2o"),
                          "map_pcd_path": os.path.join(args.output, "map.pcd")})
 
-    app = LidarSlam(fcfg, bcfg, set_initial_pose=set_init,
-                    initial_pose=init_pose, **node_kw)
+    if args.frontend_only:
+        from ..api.bus import Bus
+        from ..api.scan_matcher_node import ScanMatcherNode
+
+        class _FrontendApp:
+            """Standalone scanmatcher_node (reference scanmatcher_node.cpp)."""
+
+            def __init__(self):
+                self.bus = Bus()
+                self.scan_matcher = ScanMatcherNode(
+                    self.bus, fcfg, set_initial_pose=set_init,
+                    initial_pose=init_pose, **node_kw,
+                )
+
+            def add_imu(self, w, a, q, stamp):
+                self.bus.publish("imu", {
+                    "angular_velocity": w, "linear_acceleration": a,
+                    "orientation": q, "stamp": stamp,
+                })
+
+            def add_scan(self, points, stamp, frame_id=None):
+                self.bus.publish("input_cloud", {
+                    "points": points, "stamp": stamp, "odom": None,
+                    "frame_id": frame_id,
+                })
+
+            def set_static_transform(self, parent, child, T):
+                self.scan_matcher.tf_buffer.set_static(parent, child, T)
+
+            def map_save(self):
+                return False
+
+            def results(self):
+                eng = self.scan_matcher.engine
+                return {
+                    "path": eng.get_path(), "map_array": eng.map_array,
+                    "modified_map_array": None, "modified_path": None,
+                    "loop_edges": [], "map": eng.global_map(),
+                }
+
+        app = _FrontendApp()
+    else:
+        app = LidarSlam(fcfg, bcfg, set_initial_pose=set_init,
+                        initial_pose=init_pose, **node_kw)
     if args.static_tf:
         v = [float(x) for x in args.static_tf.split()]
         T = np.eye(4, dtype=np.float32)
@@ -133,6 +186,10 @@ def main(argv=None) -> int:
     }
     with open(os.path.join(args.output, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
+    if args.checkpoint:
+        from ..io.checkpoint import save_checkpoint
+
+        save_checkpoint(args.checkpoint, res["map_array"], res["loop_edges"])
     print(json.dumps(summary))
     return 0
 

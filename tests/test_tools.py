@@ -1,0 +1,101 @@
+"""CLI tools: the offline slam runner's frontend-only mode
+(scanmatcher_node standalone, mapping_robot.launch.py equivalent) and the
+standalone backend runner (graphbasedslam.launch.py equivalent)."""
+
+import json
+import os
+
+import numpy as np
+
+from lidarslam_ros2_tpu.io.pcd import save_pcd
+from lidarslam_ros2_tpu.utils.synthetic import (
+    VLP16, World, line_trajectory, simulate_scan,
+)
+
+
+def _write_course(tmp_path, n=8, step=0.4):
+    world = World(seed=11)
+    gt = line_trajectory(n, step=step)
+    d = tmp_path / "scans"
+    d.mkdir()
+    for k, pose in enumerate(gt):
+        scan = simulate_scan(world, pose, VLP16, noise=0.01, seed=k)
+        save_pcd(str(d / f"{k:04d}.pcd"), scan)
+    return d, gt
+
+
+def _params(tmp_path):
+    p = tmp_path / "p.yaml"
+    p.write_text(
+        """
+scan_matcher:
+  ros__parameters:
+    registration_method: "NDT"
+    ndt_resolution: 2.0
+    ndt_voxel_capacity: 8192
+    trans_for_mapupdate: 1.0
+    vg_size_for_input: 0.3
+    vg_size_for_map: 0.15
+    num_targeted_cloud: 5
+    set_initial_pose: true
+    initial_pose_z: 1.5  # line_trajectory sensor height
+    scan_capacity: 16384
+    input_capacity: 8192
+    keyframe_capacity: 8192
+graph_based_slam:
+  ros__parameters:
+    registration_method: "NDT"
+    ndt_resolution: 2.0
+    distance_loop_closure: 1000000.0
+"""
+    )
+    return str(p)
+
+
+def test_frontend_only_and_checkpoint(tmp_path):
+    from lidarslam_ros2_tpu.tools.slam import main
+
+    scans, gt = _write_course(tmp_path)
+    out = tmp_path / "out"
+    ckpt = str(tmp_path / "state.npz")
+    rc = main([
+        "--pcd-dir", str(scans), "--params", _params(tmp_path),
+        "--output", str(out), "--frontend-only", "--checkpoint", ckpt,
+    ])
+    assert rc == 0
+    summary = json.loads((out / "summary.json").read_text())
+    assert summary["scans"] == len(gt)
+    assert summary["submaps"] >= 2
+    assert summary["loop_edges"] == 0  # no backend in frontend-only mode
+    path = np.load(out / "path.npy")
+    assert np.allclose(path[-1][:3, 3], gt[-1][:3, 3], atol=0.15)
+    assert os.path.exists(ckpt)
+
+
+def test_standalone_backend_over_checkpoint(tmp_path):
+    from lidarslam_ros2_tpu.tools.graphslam import main as graphslam_main
+    from lidarslam_ros2_tpu.tools.slam import main as slam_main
+
+    scans, _ = _write_course(tmp_path)
+    ckpt = str(tmp_path / "state.npz")
+    assert slam_main([
+        "--pcd-dir", str(scans), "--params", _params(tmp_path),
+        "--output", str(tmp_path / "front"), "--frontend-only",
+        "--checkpoint", ckpt,
+    ]) == 0
+
+    out = tmp_path / "back"
+    rc = graphslam_main([
+        "--checkpoint", ckpt, "--params", _params(tmp_path),
+        "--output", str(out), "--single-shot",
+    ])
+    assert rc == 0
+    summary = json.loads((out / "summary.json").read_text())
+    assert summary["submaps"] >= 2
+    # short straight course: no eligible loop candidates, but map_save must
+    # still write the adjusted artifacts (reference /map_save semantics)
+    assert (out / "pose_graph.g2o").exists()
+    assert (out / "map.pcd").exists()
+    assert (out / "modified_path.npy").exists()
+    mp = np.load(out / "modified_path.npy")
+    assert mp.shape[0] == summary["submaps"]
