@@ -1,10 +1,14 @@
-"""rosbag2 (sqlite3) reader with a minimal CDR deserializer — no ROS needed.
+"""rosbag2 (sqlite3) reader AND writer with a minimal CDR codec — no ROS.
 
 Lets the framework replay the reference's demo bags (hdl_400, Tsukuba —
 README.md:123-165) directly: reads the ``.db3`` schema (``topics`` +
 ``messages`` tables) and decodes ``sensor_msgs/msg/PointCloud2``,
 ``sensor_msgs/msg/Imu``, ``geometry_msgs/msg/PoseStamped`` and
 ``nav_msgs/msg/Odometry`` from XCDR1 little-endian payloads.
+
+The writer covers the reference workflow's record side (``ros2 bag record``
+README.md:129-134): corrected outputs and synthetic fixtures round-trip as
+standard rosbag2 sqlite3 bags that real ROS 2 tooling can open.
 """
 
 from __future__ import annotations
@@ -169,6 +173,163 @@ _DECODERS = {
     "geometry_msgs/msg/PoseStamped": decode_pose_stamped,
     "nav_msgs/msg/Odometry": decode_odometry,
 }
+
+
+class CdrWriter:
+    """XCDR1 little-endian writer (mirror of :class:`CdrReader`)."""
+
+    def __init__(self):
+        # encapsulation header: CDR_LE + 2 options bytes
+        self.buf = bytearray(b"\x00\x01\x00\x00")
+
+    def _align(self, size: int) -> None:
+        rem = (len(self.buf) - 4) % size
+        if rem:
+            self.buf += b"\x00" * (size - rem)
+
+    def u8(self, v: int):
+        self.buf.append(v & 0xFF)
+
+    def b(self, v: bool):
+        self.u8(1 if v else 0)
+
+    def i32(self, v: int):
+        self._align(4)
+        self.buf += struct.pack("<i", v)
+
+    def u32(self, v: int):
+        self._align(4)
+        self.buf += struct.pack("<I", v)
+
+    def f64_array(self, vals):
+        self._align(8)
+        self.buf += struct.pack(f"<{len(vals)}d", *vals)
+
+    def string(self, s: str):
+        raw = s.encode("utf-8") + b"\x00"
+        self.u32(len(raw))
+        self.buf += raw
+
+    def bytes_seq(self, data: bytes):
+        self.u32(len(data))
+        self.buf += data
+
+    def header(self, stamp: float, frame_id: str):
+        sec = int(stamp)
+        self.i32(sec)
+        self.u32(int(round((stamp - sec) * 1e9)))
+        self.string(frame_id)
+
+    def tobytes(self) -> bytes:
+        return bytes(self.buf)
+
+
+def encode_pointcloud2(msg: Dict) -> bytes:
+    """PointCloud2 dict (xyzi_to_pointcloud2 format) -> CDR payload."""
+    w = CdrWriter()
+    w.header(msg["header"]["stamp"], msg["header"]["frame_id"])
+    w.u32(msg["height"])
+    w.u32(msg["width"])
+    w.u32(len(msg["fields"]))
+    for f in msg["fields"]:
+        w.string(f["name"])
+        w.u32(f["offset"])
+        w.u8(f["datatype"])
+        w.u32(f["count"])
+    w.b(msg["is_bigendian"])
+    w.u32(msg["point_step"])
+    w.u32(msg["row_step"])
+    w.bytes_seq(bytes(msg["data"]))
+    w.b(msg["is_dense"])
+    return w.tobytes()
+
+
+def encode_imu(msg: Dict) -> bytes:
+    """Imu dict (decode_imu format) -> CDR payload (covariances zeroed)."""
+    w = CdrWriter()
+    w.header(msg["stamp"], msg.get("frame_id", "imu"))
+    zeros9 = (0.0,) * 9
+    w.f64_array(tuple(msg["orientation"]))
+    w.f64_array(zeros9)
+    w.f64_array(tuple(msg["angular_velocity"]))
+    w.f64_array(zeros9)
+    w.f64_array(tuple(msg["linear_acceleration"]))
+    w.f64_array(zeros9)
+    return w.tobytes()
+
+
+_ENCODERS = {
+    "sensor_msgs/msg/PointCloud2": encode_pointcloud2,
+    "sensor_msgs/msg/Imu": encode_imu,
+}
+
+
+class Rosbag2Writer:
+    """Write a standard rosbag2 sqlite3 bag (``ros2 bag record`` layout:
+    ``topics`` + ``messages`` tables, CDR serialization)."""
+
+    def __init__(self, db3_path: str):
+        self.conn = sqlite3.connect(db3_path)
+        self.conn.executescript(
+            """
+            CREATE TABLE schema(
+              schema_version INTEGER PRIMARY KEY,
+              ros_distro TEXT NOT NULL);
+            CREATE TABLE metadata(
+              id INTEGER PRIMARY KEY, metadata_version INTEGER NOT NULL,
+              metadata TEXT NOT NULL);
+            CREATE TABLE topics(
+              id INTEGER PRIMARY KEY, name TEXT NOT NULL, type TEXT NOT NULL,
+              serialization_format TEXT NOT NULL,
+              offered_qos_profiles TEXT NOT NULL);
+            CREATE TABLE messages(
+              id INTEGER PRIMARY KEY, topic_id INTEGER NOT NULL,
+              timestamp INTEGER NOT NULL, data BLOB NOT NULL);
+            CREATE INDEX timestamp_idx ON messages (timestamp ASC);
+            """
+        )
+        self.conn.execute(
+            "INSERT INTO schema(schema_version, ros_distro) VALUES (3, 'humble')"
+        )
+        self._topic_ids: Dict[str, int] = {}
+        self._topic_types: Dict[str, str] = {}
+
+    def add_topic(self, name: str, msg_type: str) -> int:
+        tid = len(self._topic_ids) + 1
+        self.conn.execute(
+            "INSERT INTO topics VALUES (?, ?, ?, 'cdr', '')",
+            (tid, name, msg_type),
+        )
+        self._topic_ids[name] = tid
+        self._topic_types[name] = msg_type
+        return tid
+
+    def write(self, topic: str, stamp: float, msg: Dict,
+              msg_type: Optional[str] = None) -> None:
+        """Encode + append one message. ``stamp`` is the bag receive time in
+        seconds. New topics need ``msg_type`` on first write (or add_topic)."""
+        if topic not in self._topic_ids:
+            if msg_type is None:
+                raise ValueError(f"unknown topic {topic!r}: pass msg_type")
+            self.add_topic(topic, msg_type)
+        msg_type = self._topic_types[topic]
+        if msg_type not in _ENCODERS:
+            raise ValueError(f"no CDR encoder for {msg_type!r}")
+        blob = _ENCODERS[msg_type](msg)
+        self.conn.execute(
+            "INSERT INTO messages(topic_id, timestamp, data) VALUES (?, ?, ?)",
+            (self._topic_ids[topic], int(round(stamp * 1e9)), blob),
+        )
+
+    def close(self):
+        self.conn.commit()
+        self.conn.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
 
 
 class Rosbag2Reader:

@@ -20,10 +20,10 @@ import numpy as np
 
 
 def _iter_bag(args):
+    from ..io.mcap import open_bag
     from ..io.pointcloud2 import pointcloud2_to_xyzi
-    from ..io.rosbag2 import Rosbag2Reader
 
-    reader = Rosbag2Reader(args.bag)
+    reader = open_bag(args.bag)  # .db3 or .mcap, detected by magic
     names = reader.topic_names()
     print(f"bag topics: {names}")
     for topic, ts, msg in reader.messages():
@@ -46,7 +46,7 @@ def _iter_pcd_dir(args):
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     src = ap.add_mutually_exclusive_group(required=True)
-    src.add_argument("--bag", help="rosbag2 .db3 file")
+    src.add_argument("--bag", help="rosbag2 file (.db3 sqlite3 or .mcap)")
     src.add_argument("--pcd-dir", help="directory of ordered .pcd scans")
     ap.add_argument("--params", default=None, help="reference-format params yaml")
     ap.add_argument("--output", default="slam_output")
