@@ -115,9 +115,26 @@ def test_yaml_config_code_defaults():
     assert opts.publish_tf is True
 
 
-def test_yaml_imu_recipe():
+def test_yaml_mapping_robot_recipe():
+    """Drop-in parity with the reference's scanmatcher/param/mapping_robot.yaml
+    (NDT res 2.0, coarse input vg, no IMU, no initial pose)."""
     fcfg, opts, bcfg = load_yaml("param/mapping_robot.yaml")
-    assert fcfg.use_imu is True
-    assert fcfg.registration_method == "GICP"
-    assert fcfg.gicp.max_correspondence_distance == 1.0
+    assert fcfg.registration_method == "NDT"
+    assert fcfg.ndt.resolution == 2.0
+    assert fcfg.vg_size_for_input == 1.5
+    assert fcfg.vg_size_for_map == 0.075
+    assert fcfg.use_imu is False
+    assert opts.set_initial_pose is False
+    # no graph_based_slam section -> backend falls back to code defaults
+    assert bcfg.search_submap_num == 3
+
+
+def test_yaml_graphbasedslam_recipe():
+    """Standalone backend param file mirrors the reference's
+    graph_based_slam/param/graphbasedslam.yaml."""
+    _, _, bcfg = load_yaml("param/graphbasedslam.yaml")
     assert bcfg.registration_method == "GICP"
+    assert bcfg.ndt.resolution == 1.5
+    assert bcfg.voxel_leaf_size == 0.2
+    assert bcfg.threshold_loop_closure_score == 1.5
+    assert bcfg.distance_loop_closure == 30.0
