@@ -69,6 +69,12 @@ class BackendConfig:
     # pose-graph solver
     gn_iterations: int = 10  # reference optimize(10)
     cg_iterations: int = 100
+    # robust kernel on loop edges (delta 0 = off, the reference's plain
+    # identity-information LM). kernel "dcs" (Dynamic Covariance Scaling,
+    # redescending) with delta ~1.0 switches off gross false closures;
+    # "huber" only bounds their influence
+    loop_huber_delta: float = 0.0
+    loop_robust_kernel: str = "dcs"
     # output paths (reference writes cwd-relative files)
     pose_graph_path: str = "pose_graph.g2o"
     map_pcd_path: str = "map.pcd"
@@ -110,15 +116,25 @@ class GraphBasedSlam:
         self.receive_map_array(map_array)
         self.loop_edges = list(loop_edges)
 
-    # -- loop detection (reference searchLoop, :145-260) ----------------------
-    def search_loop(self) -> Optional[LoopEdge]:
-        cfg = self.cfg
+    def poll_snapshot(self) -> Optional[MapArray]:
+        """Atomically consume the newest MapArray if it changed since the
+        last poll (the reference's is_map_array_updated_ gate, :148-153).
+        Callers that overlap loop search with the scan path hold a lock only
+        around THIS call — the hand-off — never around the search itself."""
         if self.map_array is None or not self._map_array_updated:
             return None
         if len(self.map_array) < 2:
             return None
         self._map_array_updated = False
-        ma = self.map_array
+        return self.map_array
+
+    # -- loop detection (reference searchLoop, :145-260) ----------------------
+    def search_loop(self, ma: Optional[MapArray] = None) -> Optional[LoopEdge]:
+        cfg = self.cfg
+        if ma is None:
+            ma = self.poll_snapshot()
+            if ma is None:
+                return None
         n = len(ma)
 
         latest = ma.submaps[-1]
@@ -190,7 +206,12 @@ class GraphBasedSlam:
             poses, cfg.num_adjacent_pose_cnstraints, loop_pairs, loop_rel
         )
         new_poses, chi2 = optimize_pose_graph(
-            graph, gn_iters=cfg.gn_iterations, cg_iters=cfg.cg_iterations
+            graph,
+            gn_iters=cfg.gn_iterations,
+            cg_iters=cfg.cg_iterations,
+            huber_delta=cfg.loop_huber_delta,
+            band_width=cfg.num_adjacent_pose_cnstraints,
+            robust_kernel=cfg.loop_robust_kernel,
         )
         n = len(map_array)
         corrected = np.asarray(new_poses)[:n]
