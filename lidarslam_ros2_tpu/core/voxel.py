@@ -96,6 +96,7 @@ class VoxelHashTable(NamedTuple):
     slot_coords: jnp.ndarray
     slot_idx: jnp.ndarray
     max_probes: jnp.ndarray  # i32 scalar: probes actually needed at build
+    n_unplaced: jnp.ndarray  # i32 scalar: valid items NOT inserted (overflow)
 
     @property
     def size(self) -> int:
@@ -148,7 +149,8 @@ def build_hash_table(
         jnp.full((H,), -1, dtype=jnp.int32),
     )
     rounds, placed, slot_coords, slot_idx = jax.lax.while_loop(cond, body, init)
-    return VoxelHashTable(slot_coords, slot_idx, rounds)
+    n_unplaced = jnp.sum((valid & ~placed).astype(jnp.int32))
+    return VoxelHashTable(slot_coords, slot_idx, rounds, n_unplaced)
 
 
 def lookup_hash_table_channels(

@@ -34,7 +34,7 @@ from ..models import registration as reg
 from ..ops import gicp as gicp_ops
 from ..ops.deskew import ImuHistory, deskew
 from ..ops.filters import min_max_range_filter
-from ..ops.voxelize import voxel_downsample
+from ..ops.voxelize import voxel_downsample_counted
 from ..utils.imu import ImuIntegrator
 
 
@@ -85,6 +85,7 @@ class FrontendState(NamedTuple):
     target: Any  # NDTTargetState | GICPTargetState
     prev_odom: jnp.ndarray  # f32[4,4]
     has_prev_odom: jnp.ndarray  # bool
+    last_kf_dropped: jnp.ndarray  # i32: keyframe-downsample voxels dropped
 
 
 class StepOutputs(NamedTuple):
@@ -95,6 +96,7 @@ class StepOutputs(NamedTuple):
     fitness: jnp.ndarray
     trans: jnp.ndarray  # distance since last keyframe
     need_keyframe: jnp.ndarray  # bool
+    dropped_input_voxels: jnp.ndarray  # i32: input-downsample overflow
 
 
 # ---------------------------------------------------------------------------
@@ -104,20 +106,23 @@ class StepOutputs(NamedTuple):
 @partial(jax.jit, static_argnames=("cfg",))
 def preprocess(
     cfg: FrontendConfig, raw: PointCloud, imu: ImuHistory
-) -> Tuple[PointCloud, PointCloud]:
+) -> Tuple[PointCloud, PointCloud, jnp.ndarray]:
     """Deskew + range filter + input downsample.
 
-    Returns (filtered_raw [scan_capacity], source [input_capacity]) — the
-    raw (full-res) cloud feeds keyframe creation at vg_size_for_map, matching
-    the reference's use of the pre-downsample cloud in updateMap (:438-447).
+    Returns (filtered_raw [scan_capacity], source [input_capacity],
+    n_dropped_input_voxels) — the raw (full-res) cloud feeds keyframe
+    creation at vg_size_for_map, matching the reference's use of the
+    pre-downsample cloud in updateMap (:438-447).
     """
     cloud = raw
     if cfg.use_imu:
         cloud = deskew(cloud, imu, cfg.scan_period)
     if cfg.use_min_max_filter:
         cloud = min_max_range_filter(cloud, cfg.scan_min_range, cfg.scan_max_range)
-    source = voxel_downsample(cloud, cfg.vg_size_for_input, cfg.input_capacity)
-    return cloud, source
+    source, n_dropped = voxel_downsample_counted(
+        cloud, cfg.vg_size_for_input, cfg.input_capacity
+    )
+    return cloud, source, n_dropped
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -167,6 +172,7 @@ def register_scan(
         fitness=result.fitness,
         trans=trans,
         need_keyframe=need_kf,
+        dropped_input_voxels=jnp.int32(0),  # filled in by frontend_step
     )
     return new_state, outputs
 
@@ -183,9 +189,9 @@ def frontend_step(
     """Fused preprocess + register in ONE dispatch (each dispatch through a
     remote-attached TPU costs a fixed ~30 ms floor; a production frontend
     pays it once per scan, not once per stage)."""
-    filtered_raw, source = preprocess(cfg, raw, imu)
+    filtered_raw, source, n_dropped = preprocess(cfg, raw, imu)
     new_state, out = register_scan(cfg, state, source, odom, has_odom)
-    return filtered_raw, new_state, out
+    return filtered_raw, new_state, out._replace(dropped_input_voxels=n_dropped)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -199,7 +205,9 @@ def keyframe_update(
     target is the concatenation of all ring keyframes transformed by their
     stored poses (:452-464), compiled into an NDT/GICP voxel model.
     """
-    kf_cloud = voxel_downsample(filtered_raw, cfg.vg_size_for_map, cfg.keyframe_capacity)
+    kf_cloud, kf_dropped = voxel_downsample_counted(
+        filtered_raw, cfg.vg_size_for_map, cfg.keyframe_capacity
+    )
     slot = state.kf_next
     K = state.kf_xyz.shape[0]
     kf_xyz = state.kf_xyz.at[slot].set(kf_cloud.xyz)
@@ -233,6 +241,7 @@ def keyframe_update(
         kf_slot_used=kf_used,
         kf_next=(slot + 1) % K,
         target=target,
+        last_kf_dropped=kf_dropped,
     )
 
 
@@ -286,7 +295,7 @@ class ScanMatcher:
         imu_hist = self.imu.snapshot(ref_time=stamp)
 
         if not self._initialized:
-            filtered_raw, _ = preprocess(cfg, raw, imu_hist)
+            filtered_raw, _, _ = preprocess(cfg, raw, imu_hist)
             self._init_map(filtered_raw, stamp)
             self._initialized = True
 
@@ -315,13 +324,42 @@ class ScanMatcher:
             "trans": float(out.trans),
             "keyframe": False,
             "stamp": stamp,
+            # overflow observability: every fixed-capacity truncation point,
+            # surfaced so capacity mis-sizing is visible instead of silently
+            # degrading accuracy (VoxelGrid capacity, hash occupancy, scan pad)
+            "overflow": {
+                "scan_points_dropped": max(0, len(points) - cfg.scan_capacity),
+                "input_voxels_dropped": int(out.dropped_input_voxels),
+                "keyframe_voxels_dropped": 0,
+                "target_voxels_dropped": 0,
+                "hash_slots_unplaced": 0,
+            },
         }
 
         if bool(out.need_keyframe):
             self.state = keyframe_update(cfg, self.state, filtered_raw)
             self._append_submap(pose_np, stamp)
             result["keyframe"] = True
+            result["overflow"].update(self._target_overflow())
         return result
+
+    def _target_overflow(self) -> dict:
+        """Fetch the target-model overflow counters after a keyframe update
+        (one batched device->host transfer)."""
+        if self.cfg.registration_method == "NDT":
+            tgt = self.state.target.ndt
+            n_dropped = tgt.stats.n_dropped
+        else:
+            tgt = self.state.target.dist
+            n_dropped = tgt.n_dropped
+        kf_d, tgt_d, hash_u = jax.device_get(
+            (self.state.last_kf_dropped, n_dropped, tgt.table.n_unplaced)
+        )
+        return {
+            "keyframe_voxels_dropped": int(kf_d),
+            "target_voxels_dropped": int(tgt_d),
+            "hash_slots_unplaced": int(hash_u),
+        }
 
     # -- internals ------------------------------------------------------------
     def _empty_state(self) -> FrontendState:
@@ -351,6 +389,7 @@ class ScanMatcher:
             target=target,
             prev_odom=jnp.eye(4, dtype=jnp.float32),
             has_prev_odom=jnp.asarray(False),
+            last_kf_dropped=jnp.int32(0),
         )
 
     def _init_map(self, filtered_raw: PointCloud, stamp: float) -> None:

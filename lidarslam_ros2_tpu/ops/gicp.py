@@ -84,6 +84,7 @@ class GICPTarget(NamedTuple):
     hash_rows: jnp.ndarray  # f32[H,16] fused probe+stats rows (see ops/ndt.py)
     table: VoxelHashTable
     inv_leaf: jnp.ndarray
+    n_dropped: jnp.ndarray  # i32: target voxels beyond capacity (overflow)
 
 
 def build_gicp_target(
@@ -121,6 +122,7 @@ def build_gicp_target(
         hash_rows=build_hash_rows(table, packed),
         table=table,
         inv_leaf=jnp.asarray(1.0 / resolution, dtype=jnp.float32),
+        n_dropped=stats.n_dropped,
     )
 
 

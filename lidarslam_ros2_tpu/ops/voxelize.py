@@ -57,9 +57,19 @@ def voxel_downsample(cloud: PointCloud, leaf_size, capacity: int) -> PointCloud:
     ``capacity`` voxels. Intensity is averaged like the spatial coordinates
     (PCL downsample_all_data semantics for XYZI).
     """
+    return voxel_downsample_counted(cloud, leaf_size, capacity)[0]
+
+
+def voxel_downsample_counted(cloud: PointCloud, leaf_size, capacity: int):
+    """Like :func:`voxel_downsample` but also returns the overflow counter
+    ``n_dropped`` (i32 scalar): occupied voxels beyond ``capacity`` whose
+    points were routed to the trash segment. Silent truncation is the classic
+    fixed-shape failure mode — callers surface this in per-scan diagnostics.
+    """
     inv_leaf = 1.0 / jnp.asarray(leaf_size, dtype=cloud.xyz.dtype)
     key_a, key_b, xyz, inten, valid, _ = _sort_by_voxel(cloud, inv_leaf)
-    seg, _ = segment_ids_from_sorted_keys(key_a, key_b, valid, capacity)
+    seg, used = segment_ids_from_sorted_keys(key_a, key_b, valid, capacity)
+    n_dropped = jnp.maximum(used - capacity, 0)
     nseg = capacity + 1  # last segment collects invalid/overflow rows
     ones = valid.astype(xyz.dtype)
     count = jax.ops.segment_sum(ones, seg, num_segments=nseg)[:capacity]
@@ -68,11 +78,12 @@ def voxel_downsample(cloud: PointCloud, leaf_size, capacity: int) -> PointCloud:
     occupied = count > 0
     denom = jnp.maximum(count, 1.0)
     centroid = jnp.where(occupied[:, None], sums / denom[:, None], PAD_COORD)
-    return PointCloud(
+    out = PointCloud(
         xyz=centroid,
         intensity=jnp.where(occupied, isum / denom, 0.0),
         valid=occupied,
     )
+    return out, n_dropped
 
 
 class VoxelStats(NamedTuple):
@@ -85,6 +96,7 @@ class VoxelStats(NamedTuple):
       inv_cov  f32[V, 3, 3]
       count    f32[V]
       valid    bool[V]   occupied AND count >= min_points
+      n_dropped i32      occupied voxels beyond capacity (overflow counter)
     """
 
     coords: jnp.ndarray
@@ -93,6 +105,7 @@ class VoxelStats(NamedTuple):
     inv_cov: jnp.ndarray
     count: jnp.ndarray
     valid: jnp.ndarray
+    n_dropped: jnp.ndarray
 
 
 def regularize_covariance(cov: jnp.ndarray, min_eig_ratio: float = 0.01):
@@ -125,7 +138,7 @@ def voxel_stats(
     """
     inv_leaf = 1.0 / jnp.asarray(leaf_size, dtype=cloud.xyz.dtype)
     key_a, key_b, xyz, _, valid, coords = _sort_by_voxel(cloud, inv_leaf)
-    seg, _ = segment_ids_from_sorted_keys(key_a, key_b, valid, capacity)
+    seg, used = segment_ids_from_sorted_keys(key_a, key_b, valid, capacity)
     nseg = capacity + 1
     ones = valid.astype(xyz.dtype)
     count = jax.ops.segment_sum(ones, seg, num_segments=nseg)[:capacity]
@@ -157,4 +170,5 @@ def voxel_stats(
         inv_cov=jnp.where(occupied[:, None, None], inv_cov, 0.0),
         count=count,
         valid=occupied,
+        n_dropped=jnp.maximum(used - capacity, 0),
     )

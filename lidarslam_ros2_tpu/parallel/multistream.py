@@ -53,10 +53,11 @@ def _single_stream_step(
     cfg: FrontendConfig, state: FrontendState, raw: PointCloud, imu: ImuHistory
 ) -> Tuple[FrontendState, StepOutputs]:
     """One full frontend step incl. branchless keyframe handling."""
-    filtered_raw, source = preprocess(cfg, raw, imu)
+    filtered_raw, source, n_dropped = preprocess(cfg, raw, imu)
     state, out = register_scan(
         cfg, state, source, jnp.eye(4, dtype=jnp.float32), jnp.asarray(False)
     )
+    out = out._replace(dropped_input_voxels=n_dropped)
     # bootstrap: a stream with no keyframes yet takes this scan as submap #0
     # (the batched analogue of the reference's initializeMap, :262-294)
     uninitialized = ~jnp.any(state.kf_slot_used)

@@ -121,7 +121,7 @@ def test_imu_deskew_in_pipeline():
     scan0 = distorted_scan(0)
     raw = PointCloud.from_numpy(scan0, sm_probe.cfg.scan_capacity)
     hist = sm_probe.imu.snapshot(ref_time=1000.0)
-    corrected, _ = preprocess(sm_probe.cfg, raw, hist)
+    corrected, _, _ = preprocess(sm_probe.cfg, raw, hist)
     moved = np.linalg.norm(
         np.asarray(corrected.xyz) - np.asarray(raw.xyz), axis=1
     )[np.asarray(raw.valid)]

