@@ -28,8 +28,13 @@ class LidarSlam:
         backend_cfg: BackendConfig = BackendConfig(),
         set_initial_pose: bool = True,
         initial_pose: Optional[np.ndarray] = None,
+        async_backend: bool = False,
         **frontend_node_kw,
     ):
+        """``async_backend=True`` runs loop detection on a worker thread so a
+        loop closure never stalls the scan path — the reference's timer-thread
+        overlap (graph_based_slam_component.cpp:124-128). Call :meth:`finish`
+        (or :meth:`run`, which does) before reading final results."""
         self.bus = Bus()
         self.scan_matcher = ScanMatcherNode(
             self.bus,
@@ -38,7 +43,9 @@ class LidarSlam:
             initial_pose=initial_pose,
             **frontend_node_kw,
         )
-        self.graph_based_slam = GraphBasedSlamNode(self.bus, backend_cfg)
+        self.graph_based_slam = GraphBasedSlamNode(
+            self.bus, backend_cfg, async_mode=async_backend
+        )
 
     # -- streaming interface ---------------------------------------------------
     def add_imu(self, angular_velocity, linear_acceleration, orientation_xyzw,
@@ -84,7 +91,16 @@ class LidarSlam:
                 pts = payload[1]
                 odom = payload[2] if len(payload) > 2 else None
                 self.add_scan(pts, stamp, odom)
+        self.finish()
         return self.results()
+
+    def finish(self) -> None:
+        """Flush the async backend: drain pending loop-search ticks and run a
+        final search so results() is deterministic."""
+        self.graph_based_slam.join()
+
+    def close(self) -> None:
+        self.graph_based_slam.close()
 
     def map_save(self) -> bool:
         return self.graph_based_slam.map_save()

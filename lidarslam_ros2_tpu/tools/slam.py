@@ -71,6 +71,13 @@ def main(argv=None) -> int:
         default=None,
         help="also write a resumable SLAM-state checkpoint (.npz) at the end",
     )
+    ap.add_argument(
+        "--sync-backend",
+        action="store_true",
+        help="run loop detection inline on the scan path instead of the "
+        "default worker thread (deterministic, but a loop closure stalls "
+        "scan processing — the reference overlaps via a timer thread)",
+    )
     args = ap.parse_args(argv)
 
     from ..api.config import load_yaml
@@ -143,7 +150,8 @@ def main(argv=None) -> int:
         app = _FrontendApp()
     else:
         app = LidarSlam(fcfg, bcfg, set_initial_pose=set_init,
-                        initial_pose=init_pose, **node_kw)
+                        initial_pose=init_pose,
+                        async_backend=not args.sync_backend, **node_kw)
     if args.static_tf:
         v = [float(x) for x in args.static_tf.split()]
         T = np.eye(4, dtype=np.float32)
@@ -154,6 +162,7 @@ def main(argv=None) -> int:
 
     stream = _iter_bag(args) if args.bag else _iter_pcd_dir(args)
     n_scans = 0
+    scan_latency = []  # per-scan wall time incl. any inline backend work
     t0 = time.perf_counter()
     for kind, ts, payload, frame in stream:
         if kind == "imu":
@@ -161,12 +170,16 @@ def main(argv=None) -> int:
                         payload["linear_acceleration"],
                         payload["orientation"], ts)
         else:
+            t_scan = time.perf_counter()
             app.add_scan(payload, ts, frame_id=None)
+            scan_latency.append(time.perf_counter() - t_scan)
             n_scans += 1
             if args.max_scans and n_scans >= args.max_scans:
                 break
     wall = time.perf_counter() - t0
 
+    if hasattr(app, "finish"):
+        app.finish()  # drain async loop-search ticks before final outputs
     app.map_save()
     res = app.results()
     path = res["path"]
@@ -174,12 +187,21 @@ def main(argv=None) -> int:
     if res["modified_path"] is not None:
         np.save(os.path.join(args.output, "modified_path.npy"), res["modified_path"])
     save_pcd(os.path.join(args.output, "map.pcd"), res["map"])
+    lat = np.asarray(scan_latency) if scan_latency else np.zeros(1)
     summary = {
         "scans": n_scans,
         "submaps": len(res["map_array"]),
         "loop_edges": len(res["loop_edges"]),
         "wall_s": round(wall, 2),
         "scans_per_s": round(n_scans / max(wall, 1e-9), 2),
+        "scan_latency_ms": {
+            "p50": round(1000 * float(np.percentile(lat, 50)), 2),
+            "p95": round(1000 * float(np.percentile(lat, 95)), 2),
+            "p99": round(1000 * float(np.percentile(lat, 99)), 2),
+            "max": round(1000 * float(lat.max()), 2),
+        },
+        "backend_mode": "sync" if args.sync_backend or args.frontend_only
+        else "async",
         "trajectory_length_m": float(
             np.sum(np.linalg.norm(np.diff(path[:, :3, 3], axis=0), axis=1))
         ) if len(path) > 1 else 0.0,
