@@ -3,8 +3,15 @@
 North-star metric (BASELINE.md): VLP-32-class scan-to-submap NDT
 registration, ~30k source points against a 10-keyframe target window,
 milliseconds per Gauss-Newton/LM iteration on one TPU core. Baseline target:
-< 2 ms/iteration (and >= 20x over 8-thread ndt_omp, whose measured class is
-~40 ms/iter on this workload size).
+< 2 ms/iteration and >= 20x over 8-thread ndt_omp.
+
+Also measured into ``detail`` (BASELINE.json configs 2 + 3):
+  * the CPU ndt_omp-class baseline (native/ndt_cpu.cpp, OpenMP DIRECT7
+    Magnusson NDT) on the SAME workload — the ratio behind the >= 20x claim
+    is measured here, not assumed;
+  * GICP (VGICP) ms/iter on the same window (BASELINE config 2);
+  * full-SLAM per-scan latency p50/p99 with loop closures and the async
+    backend (BASELINE config 3).
 
 Prints ONE JSON line:
     {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
@@ -12,6 +19,7 @@ Prints ONE JSON line:
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -47,6 +55,148 @@ def _vlp32_window(seed=0):
         PointCloud.from_numpy(src_scan[:, :3], 65536), 0.2, 16384
     )
     return window, source, poses[5]
+
+
+def _bench_cpu_ndt(window, source, guess_np, tpu_ms_per_iter):
+    """ndt_omp-class CPU baseline on the SAME workload (BASELINE >= 20x)."""
+    from lidarslam_ros2_tpu.utils import cpu_baseline
+
+    if not cpu_baseline.available():
+        return {"available": False}
+    tgt = np.asarray(window.xyz)[np.asarray(window.valid)]
+    src = np.asarray(source.xyz)[np.asarray(source.valid)]
+    ndt = cpu_baseline.NdtCpu(tgt, resolution=5.0)
+    threads = cpu_baseline.max_threads()
+    # warm-up + fixed-iteration timing (epsilon 0 -> exactly max_iter iters)
+    ndt.align(src, guess_np, max_iter=2, epsilon=0.0)
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _, iters, _ = ndt.align(src, guess_np, max_iter=10, epsilon=0.0)
+        ts.append((time.perf_counter() - t0) / iters)
+    ms = 1000.0 * float(np.median(ts))
+    # honest 8-thread number: OpenMP scales the per-point loop near-linearly;
+    # on an N-core box we report measured ms at N threads and the linear
+    # extrapolation to 8 threads (conservative for ndt_omp, which adds line
+    # search + trig derivative chains on top of this iteration)
+    ms_8t = ms * threads / 8.0
+    return {
+        "available": True,
+        "ms_per_iter_measured": round(ms, 3),
+        "threads_measured": threads,
+        "ms_per_iter_8t_extrapolated": round(ms_8t, 3),
+        "speedup_tpu_vs_measured": round(ms / tpu_ms_per_iter, 1),
+        "speedup_tpu_vs_8t_extrapolated": round(ms_8t / tpu_ms_per_iter, 1),
+    }
+
+
+def _bench_gicp(window, source, guess):
+    """BASELINE config 2: GICP frontend iteration cost on the same window."""
+    import jax
+
+    from lidarslam_ros2_tpu.models.registration import (
+        GICPConfig,
+        gicp_align,
+        gicp_build_target,
+    )
+    from lidarslam_ros2_tpu.ops import gicp as gicp_ops
+
+    def make_cfg(iters):
+        return GICPConfig(
+            max_correspondence_distance=5.0,  # scanmatcher_component.cpp:116
+            voxel_resolution=1.0,
+            voxel_capacity=65536,
+            max_iterations=iters,
+            transformation_epsilon=0.0,
+            lambda_up=1.0,
+            lambda_max=1e30,
+            compute_fitness=False,
+        )
+
+    cfg_lo, cfg_hi = make_cfg(10), make_cfg(40)
+    target = gicp_build_target(cfg_hi, window)
+    jax.block_until_ready(target)
+    src_cov = gicp_ops.source_covariances(source, 1.0, 65536)
+    jax.block_until_ready(src_cov)
+
+    def timed(cfg):
+        res = gicp_align(cfg, target, source, src_cov, guess)
+        jax.block_until_ready(res.T)
+        ts = []
+        for _ in range(10):
+            t0 = time.perf_counter()
+            res = gicp_align(cfg, target, source, src_cov, guess)
+            jax.block_until_ready(res.T)
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    t_lo, t_hi = timed(cfg_lo), timed(cfg_hi)
+    return {
+        "ms_per_iter": round(1000.0 * (t_hi - t_lo) / 30.0, 4),
+        "align_ms_10it": round(1000.0 * t_lo, 3),
+        "align_ms_40it": round(1000.0 * t_hi, 3),
+    }
+
+
+def _bench_full_slam():
+    """BASELINE config 3: full SLAM (frontend + async backend with loop
+    closures + map_save); per-scan wall-time distribution."""
+    from lidarslam_ros2_tpu.api.lidarslam import LidarSlam
+    from lidarslam_ros2_tpu.graph.backend import BackendConfig
+    from lidarslam_ros2_tpu.models.registration import NDTConfig
+    from lidarslam_ros2_tpu.odometry.frontend import FrontendConfig
+    from lidarslam_ros2_tpu.utils.synthetic import (
+        VLP16, World, circle_trajectory, simulate_scan,
+    )
+
+    fcfg = FrontendConfig(
+        ndt=NDTConfig(resolution=2.0, voxel_capacity=16384, max_iterations=30,
+                      compute_fitness=False),
+        trans_for_mapupdate=1.0,
+        vg_size_for_input=0.2,
+        vg_size_for_map=0.1,
+        num_targeted_cloud=10,
+        scan_capacity=32768,
+        input_capacity=16384,
+        keyframe_capacity=16384,
+    )
+    bcfg = BackendConfig(
+        ndt=NDTConfig(resolution=2.0, max_iterations=60, voxel_capacity=16384),
+        threshold_loop_closure_score=1.0,
+        distance_loop_closure=20.0,
+        range_of_searching_loop_closure=5.0,
+        search_submap_num=2,
+        num_adjacent_pose_cnstraints=3,
+        voxel_leaf_size=0.3,
+        loop_detection_period=500,
+        pose_graph_path="/tmp/bench_pose_graph.g2o",
+        map_pcd_path="/tmp/bench_map.pcd",
+    )
+    world = World(seed=7)
+    n = 40
+    gt = circle_trajectory(n + 1, radius=7.0)
+    app = LidarSlam(fcfg, bcfg, set_initial_pose=True, initial_pose=gt[0],
+                    async_backend=True)
+    lat = []
+    try:
+        for k in range(n + 1):
+            scan = simulate_scan(world, gt[k], VLP16, noise=0.01, seed=100 + k)
+            t0 = time.perf_counter()
+            app.add_scan(scan, stamp=0.25 * k)
+            lat.append(time.perf_counter() - t0)
+        app.finish()
+        loops = len(app.graph_based_slam.engine.loop_edges)
+    finally:
+        app.close()
+    lat = np.asarray(lat[2:])  # drop compile scans
+    return {
+        "scans": n + 1,
+        "loop_closures": loops,
+        "scan_ms_p50": round(1000 * float(np.percentile(lat, 50)), 2),
+        "scan_ms_p99": round(1000 * float(np.percentile(lat, 99)), 2),
+        "scan_ms_max": round(1000 * float(lat.max()), 2),
+        "backend": "async_worker_thread",
+    }
 
 
 def main():
@@ -100,18 +250,34 @@ def main():
     # to the kernel (a pipelined production frontend never pays it per scan)
     ms_per_iter = 1000.0 * (t_hi - t_lo) / 30.0
 
+    detail = {
+        "source_points": n_src,
+        "target_window_points": int(window.count()),
+        "align_ms_10it": round(1000.0 * t_lo, 3),
+        "align_ms_40it": round(1000.0 * t_hi, 3),
+        "device": str(jax.devices()[0]),
+    }
+
+    # secondary sections are best-effort: a failure there must not lose the
+    # headline metric (driver parses the single JSON line)
+    if os.environ.get("BENCH_QUICK") != "1":
+        for key, fn in (
+            ("cpu_ndt_baseline", lambda: _bench_cpu_ndt(
+                window, source, np.asarray(guess), ms_per_iter)),
+            ("gicp", lambda: _bench_gicp(window, source, guess)),
+            ("full_slam", _bench_full_slam),
+        ):
+            try:
+                detail[key] = fn()
+            except Exception as e:  # pragma: no cover
+                detail[key] = {"error": f"{type(e).__name__}: {e}"}
+
     out = {
         "metric": "vlp32_scan_to_submap_ndt_gn_iteration_latency",
         "value": round(ms_per_iter, 4),
         "unit": "ms/iter",
         "vs_baseline": round(2.0 / ms_per_iter, 2),
-        "detail": {
-            "source_points": n_src,
-            "target_window_points": int(window.count()),
-            "align_ms_10it": round(1000.0 * t_lo, 3),
-            "align_ms_40it": round(1000.0 * t_hi, 3),
-            "device": str(jax.devices()[0]),
-        },
+        "detail": detail,
     }
     print(json.dumps(out))
 
