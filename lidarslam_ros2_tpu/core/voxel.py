@@ -75,6 +75,39 @@ def segment_ids_from_sorted_keys(
     return seg, used
 
 
+def unique_coords(
+    coords: jnp.ndarray, valid: jnp.ndarray, capacity: int
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Deduplicate integer voxel coords into a padded unique set.
+
+    Returns (unique i32[capacity,3] — INT32_MAX pad, uvalid bool[capacity],
+    n_dropped i32). One lexicographic sort + segment reduction; used to
+    build the DIRECT-K dilated cell set for fat-row NDT targets.
+    """
+    key_a, key_b = pack_keys(coords, valid)
+    key_a, key_b, cx, cy, cz = jax.lax.sort(
+        (key_a, key_b, coords[..., 0], coords[..., 1], coords[..., 2]),
+        num_keys=2,
+    )
+    svalid = key_a != INT32_MAX
+    seg, used = segment_ids_from_sorted_keys(key_a, key_b, svalid, capacity)
+    big = jnp.iinfo(jnp.int32).min
+    rep = jnp.stack(
+        [
+            jax.ops.segment_max(jnp.where(svalid, c, big), seg,
+                                num_segments=capacity + 1)[:capacity]
+            for c in (cx, cy, cz)
+        ],
+        axis=-1,
+    )
+    count = jax.ops.segment_sum(
+        svalid.astype(jnp.int32), seg, num_segments=capacity + 1
+    )[:capacity]
+    uvalid = count > 0
+    rep = jnp.where(uvalid[:, None], rep, INT32_MAX)
+    return rep, uvalid, jnp.maximum(used - capacity, 0)
+
+
 def hash_coords(coords: jnp.ndarray, table_size: int) -> jnp.ndarray:
     """Spatial hash (Teschner et al.) into ``[0, table_size)``; table_size
     must be a power of two. int32 overflow wraps, which is fine for hashing."""

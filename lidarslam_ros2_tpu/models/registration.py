@@ -49,6 +49,9 @@ class NDTConfig:
     voxel_capacity: int = 16384  # padded target-leaf budget
     min_points_per_voxel: int = 6
     neighborhood: str = "DIRECT7"
+    # fat-row index capacity = factor * voxel_capacity (DIRECT7 dilation of a
+    # surface-like occupancy is typically 3-4x; overflow is counted)
+    dilation_factor: int = 4
     # fitness (NN mean-squared distance) costs a full blocked NN sweep; the
     # frontend only reads it under debug_flag, so it is switchable
     compute_fitness: bool = True
@@ -71,6 +74,7 @@ class GICPConfig:
     voxel_capacity: int = 32768
     min_points_per_voxel: int = 4
     plane_epsilon: float = 1e-3  # GICP eigenvalue regularization (1,1,eps)
+    dilation_factor: int = 4  # fat-row index capacity factor (see NDTConfig)
     compute_fitness: bool = True
     lambda_init: float = 1e-6
     lambda_up: float = 10.0
@@ -193,6 +197,7 @@ def ndt_build_target(cfg: NDTConfig, cloud: PointCloud) -> NDTTargetState:
         voxel_capacity=cfg.voxel_capacity,
         outlier_ratio=cfg.outlier_ratio,
         min_points=cfg.min_points_per_voxel,
+        dilation_factor=cfg.dilation_factor,
     )
     return NDTTargetState(ndt=ndt, raw=cloud)
 
@@ -250,6 +255,7 @@ def gicp_build_target(cfg: GICPConfig, cloud: PointCloud) -> GICPTargetState:
         voxel_capacity=cfg.voxel_capacity,
         min_points=cfg.min_points_per_voxel,
         plane_epsilon=cfg.plane_epsilon,
+        dilation_factor=cfg.dilation_factor,
     )
     return GICPTargetState(dist=dist, raw=cloud)
 

@@ -333,6 +333,7 @@ class ScanMatcher:
                 "keyframe_voxels_dropped": 0,
                 "target_voxels_dropped": 0,
                 "hash_slots_unplaced": 0,
+                "dilated_voxels_dropped": 0,
             },
         }
 
@@ -349,16 +350,20 @@ class ScanMatcher:
         if self.cfg.registration_method == "NDT":
             tgt = self.state.target.ndt
             n_dropped = tgt.stats.n_dropped
+            fat_dropped = tgt.n_fat_dropped
         else:
             tgt = self.state.target.dist
             n_dropped = tgt.n_dropped
-        kf_d, tgt_d, hash_u = jax.device_get(
-            (self.state.last_kf_dropped, n_dropped, tgt.table.n_unplaced)
+            fat_dropped = tgt.n_fat_dropped
+        kf_d, tgt_d, hash_u, fat_d = jax.device_get(
+            (self.state.last_kf_dropped, n_dropped, tgt.table.n_unplaced,
+             fat_dropped)
         )
         return {
             "keyframe_voxels_dropped": int(kf_d),
             "target_voxels_dropped": int(tgt_d),
             "hash_slots_unplaced": int(hash_u),
+            "dilated_voxels_dropped": int(fat_d),
         }
 
     # -- internals ------------------------------------------------------------

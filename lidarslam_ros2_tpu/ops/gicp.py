@@ -30,7 +30,7 @@ from ..core.voxel import (
     voxel_coords,
 )
 from .gn_terms import gn_terms_channels, inv3x3_sym_channels
-from .ndt import DIRECT7_OFFSETS, build_hash_rows, probe_hash_rows
+from .ndt import DIRECT7_OFFSETS, build_fat_rows, build_hash_rows, probe_rows
 from .voxelize import voxel_stats
 
 
@@ -83,6 +83,9 @@ class GICPTarget(NamedTuple):
     packed: jnp.ndarray  # f32[V,12]: mu(3), cov upper(6), valid(1), pad(2)
     hash_rows: jnp.ndarray  # f32[H,16] fused probe+stats rows (see ops/ndt.py)
     table: VoxelHashTable
+    fat_rows: jnp.ndarray  # f32[H2,80] DIRECT7 fat rows (see ops/ndt.py)
+    fat_table: VoxelHashTable
+    n_fat_dropped: jnp.ndarray
     inv_leaf: jnp.ndarray
     n_dropped: jnp.ndarray  # i32: target voxels beyond capacity (overflow)
 
@@ -93,6 +96,7 @@ def build_gicp_target(
     voxel_capacity: int,
     min_points: int = 4,
     plane_epsilon: float = 1e-3,
+    dilation_factor: int = 4,
 ) -> GICPTarget:
     stats = voxel_stats(
         cloud, resolution, voxel_capacity, min_points=min_points, min_eig_ratio=1e-3
@@ -113,6 +117,10 @@ def build_gicp_target(
         ],
         axis=-1,
     )
+    fat_rows, fat_table, n_fat_dropped = build_fat_rows(
+        table, packed, stats.coords, stats.valid,
+        dilated_capacity=dilation_factor * voxel_capacity,
+    )
     return GICPTarget(
         coords=stats.coords,
         mean=stats.mean,
@@ -121,6 +129,9 @@ def build_gicp_target(
         packed=packed,
         hash_rows=build_hash_rows(table, packed),
         table=table,
+        fat_rows=fat_rows,
+        fat_table=fat_table,
+        n_fat_dropped=n_fat_dropped,
         inv_leaf=jnp.asarray(1.0 / resolution, dtype=jnp.float32),
         n_dropped=stats.n_dropped,
     )
@@ -189,20 +200,20 @@ def gicp_score_terms(
     qy = R[1, 0] * px + R[1, 1] * py + R[1, 2] * pz + t[1]
     qz = R[2, 0] * px + R[2, 1] * py + R[2, 2] * pz + t[2]
 
-    # correspondence: nearest Gaussian among DIRECT7 neighbor voxels, via the
-    # fused hash-row probe (one row gather per probe round for coords + mu +
-    # cov). Best-of-7 selection is an unrolled elementwise min — gather-free.
+    # correspondence: nearest Gaussian among DIRECT7 neighbor voxels, via ONE
+    # fat-row gather per probe round (all 7 candidates inline — TPU gathers
+    # are index-bound, so this is 7x fewer indices than per-offset probing).
+    # Best-of-7 selection is an unrolled elementwise min — gather-free.
     cx = jnp.floor(qx * target.inv_leaf).astype(jnp.int32)
     cy = jnp.floor(qy * target.inv_leaf).astype(jnp.int32)
     cz = jnp.floor(qz * target.inv_leaf).astype(jnp.int32)
     off = DIRECT7_OFFSETS
-    ch7 = probe_hash_rows(
-        target.hash_rows,
-        target.table.max_probes,
-        cx[None, :] + off[:, 0:1],
-        cy[None, :] + off[:, 1:2],
-        cz[None, :] + off[:, 2:3],
-    )  # 10 channels, each [7, N]
+    K = off.shape[0]
+    payload, _found = probe_rows(
+        target.fat_rows, target.fat_table.max_probes, cx, cy, cz
+    )
+    chs = payload[:, : K * 10].reshape(-1, K, 10).transpose(1, 2, 0)  # [K,10,N]
+    ch7 = tuple(chs[:, j] for j in range(10))  # 10 channels, each [7, N]
     occ7 = ch7[9]
     d2_7 = (
         (qx[None] - ch7[0]) ** 2

@@ -27,6 +27,7 @@ from ..core.voxel import (
     VoxelHashTable,
     build_hash_table,
     lookup_hash_table,
+    unique_coords,
 )
 from .gn_terms import gn_terms_channels
 from .voxelize import VoxelStats, voxel_stats
@@ -67,12 +68,21 @@ class NDTTarget(NamedTuple):
 
     TPU gathers are index-bound (~1 ms per ~100k-index gather regardless of
     row width), so the hot loop must issue as FEW gather ops as possible.
-    ``hash_rows f32[H, 16]`` fuses the hash probe and the stats fetch into a
-    single row gather per probe round: each slot stores
-    ``[cx, cy, cz (exact small ints in f32) | mu(3) | inv_cov upper(6) |
-    occupied(1) | pad(3)]`` — a DIRECT7 evaluation then costs just
-    ``max_probes`` (typically 2) gathers total, instead of per-probe coord
-    gathers plus per-channel stats gathers.
+    Two fused layouts, both one row-gather per probe round:
+
+    * ``hash_rows f32[H, 16]`` — the THIN layout: each slot stores
+      ``[cx, cy, cz (exact small ints in f32) | mu(3) | inv_cov upper(6) |
+      occupied(1) | pad(3)]``. A DIRECT7 evaluation costs
+      ``7 * max_probes`` N-point gathers (one per neighbor offset per round).
+    * ``fat_rows f32[H2, 80]`` — the FAT layout (the hot path): rows are
+      keyed by the DIRECT7-DILATED cell set (every cell with at least one
+      occupied DIRECT7 neighbor), and each row inlines ALL SEVEN neighbor
+      Gaussians: ``[cx, cy, cz | 7 x (mu(3), S(6), occupied(1)) | pad(7)]``.
+      A DIRECT7 evaluation then costs just ``max_probes`` (typically 1-2)
+      N-point gathers TOTAL — 7x fewer indices, and row width is nearly free
+      on TPU. Exact PCL DIRECT7 semantics: a point whose own cell is empty
+      still sees occupied face neighbors (the dilation guarantees its row
+      exists). ``n_fat_dropped`` counts dilated cells beyond capacity.
 
     ``packed f32[V, 12]`` (mu, inv_cov upper, occupied) and ``stats`` remain
     for diagnostics/tests and non-hot-path consumers.
@@ -82,6 +92,9 @@ class NDTTarget(NamedTuple):
     packed: jnp.ndarray
     hash_rows: jnp.ndarray
     table: VoxelHashTable
+    fat_rows: jnp.ndarray
+    fat_table: VoxelHashTable
+    n_fat_dropped: jnp.ndarray
     inv_leaf: jnp.ndarray  # f32 scalar
     d1: jnp.ndarray
     d2: jnp.ndarray
@@ -110,22 +123,79 @@ def build_ndt_target(
     voxel_capacity: int,
     outlier_ratio: float = 0.55,
     min_points: int = 6,
+    dilation_factor: int = 4,
 ) -> NDTTarget:
     """setInputTarget: voxelize the target cloud into Gaussian leaves and
-    index them with an open-addressed hash (table = 2x voxel capacity)."""
+    index them with an open-addressed hash (table = 2x voxel capacity), plus
+    the fat-row dilated index (capacity = dilation_factor x voxel_capacity;
+    the DIRECT7 dilation of a surface-like occupancy is typically 3-4x)."""
     stats = voxel_stats(cloud, resolution, voxel_capacity, min_points=min_points)
     table = build_hash_table(stats.coords, stats.valid, table_size=2 * voxel_capacity)
     d1, d2 = gauss_constants(resolution, outlier_ratio)
     packed = _pack_stats(stats)
+    hash_rows = build_hash_rows(table, packed)
+    fat_rows, fat_table, n_fat_dropped = build_fat_rows(
+        table, packed, stats.coords, stats.valid,
+        dilated_capacity=dilation_factor * voxel_capacity,
+    )
     return NDTTarget(
         stats=stats,
         packed=packed,
-        hash_rows=build_hash_rows(table, packed),
+        hash_rows=hash_rows,
         table=table,
+        fat_rows=fat_rows,
+        fat_table=fat_table,
+        n_fat_dropped=n_fat_dropped,
         inv_leaf=jnp.asarray(1.0 / resolution, dtype=jnp.float32),
         d1=jnp.asarray(d1, dtype=jnp.float32),
         d2=jnp.asarray(d2, dtype=jnp.float32),
     )
+
+
+def build_fat_rows(
+    table: VoxelHashTable,
+    packed: jnp.ndarray,
+    coords: jnp.ndarray,
+    valid: jnp.ndarray,
+    dilated_capacity: int,
+) -> Tuple[jnp.ndarray, VoxelHashTable, jnp.ndarray]:
+    """Build the DIRECT7 fat-row index (see NDTTarget docstring).
+
+    Keyframe-rate work (not per-iteration): one dedupe sort over 7V dilated
+    candidates + 7 thin-table lookups per dilated cell.
+    """
+    K = DIRECT7_OFFSETS.shape[0]
+    # dilated cell set: every cell with >= 1 occupied DIRECT7 neighbor
+    # (DIRECT7 offsets are symmetric, so dilation == erosion stencil)
+    cand = (coords[:, None, :] + DIRECT7_OFFSETS[None, :, :]).reshape(-1, 3)
+    cvalid = jnp.repeat(valid, K)
+    dcoords, dvalid, n_dropped = unique_coords(cand, cvalid, dilated_capacity)
+    fat_table = build_hash_table(
+        dcoords, dvalid, table_size=2 * dilated_capacity
+    )
+    # per dilated cell: inline all 7 neighbor Gaussians (10 channels each)
+    ncoords = dcoords[:, None, :] + DIRECT7_OFFSETS[None, :, :]  # [D,K,3]
+    idx = lookup_hash_table(table, ncoords)  # i32[D,K]
+    rows = packed[jnp.maximum(idx, 0)]  # f32[D,K,12]
+    occ = rows[..., 9] * (idx >= 0)
+    # zero unoccupied entries' stat channels: packed rows of invalid voxels
+    # carry sentinel means (1e8) that would otherwise overflow downstream
+    # channel math to inf/nan; zeros also make fat == thin bit-for-bit.
+    payload = jnp.concatenate(
+        [rows[..., 0:9] * occ[..., None], occ[..., None]], axis=-1
+    ).reshape(-1, K * 10)  # [D, 70]
+
+    # fuse into hash-slot rows: [H2, 3 + 70 + pad] = [H2, 80]
+    H2 = fat_table.slot_idx.shape[0]
+    occupied = fat_table.slot_idx >= 0
+    src = payload[jnp.maximum(fat_table.slot_idx, 0)]
+    src = src * occupied[:, None]
+    coords_f = fat_table.slot_coords.astype(jnp.float32)
+    coords_f = jnp.where(occupied[:, None], coords_f, jnp.float32(2.0e9))
+    fat_rows = jnp.concatenate(
+        [coords_f, src, jnp.zeros((H2, 7), jnp.float32)], axis=1
+    )
+    return fat_rows, fat_table, n_dropped
 
 
 def build_hash_rows(table: VoxelHashTable, packed: jnp.ndarray) -> jnp.ndarray:
@@ -142,19 +212,22 @@ def build_hash_rows(table: VoxelHashTable, packed: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def probe_hash_rows(
-    hash_rows: jnp.ndarray,
+def probe_rows(
+    rows_table: jnp.ndarray,
     max_probes: jnp.ndarray,
     cx: jnp.ndarray,
     cy: jnp.ndarray,
     cz: jnp.ndarray,
 ):
-    """Probe the fused table for integer coord channels of any shape.
+    """Probe a fused coord-keyed row table (first 3 columns = exact integer
+    coords in f32) for integer coord channels of any shape.
 
-    Returns the 10 stats channels (mu x3, S upper x6, occupied) of the
-    matching row, zeros when missing. ONE row gather per probe round.
+    Returns (payload [..., W-3], found bool[...]) — the matching row's
+    payload, zeros when missing. ONE row gather per probe round regardless
+    of row width (TPU gathers are index-bound).
     """
-    H = hash_rows.shape[0]
+    H = rows_table.shape[0]
+    W = rows_table.shape[1]
     h0 = (
         cx * jnp.int32(73856093)
         ^ cy * jnp.int32(19349663)
@@ -163,21 +236,33 @@ def probe_hash_rows(
     cxf = cx.astype(jnp.float32)
     cyf = cy.astype(jnp.float32)
     czf = cz.astype(jnp.float32)
-    out = jnp.zeros(cx.shape + (13,), jnp.float32)
+    out = jnp.zeros(cx.shape + (W - 3,), jnp.float32)
     found = jnp.zeros(cx.shape, bool)
 
     def body(r, state):
         out, found = state
         slot = (h0 + r) & (H - 1)
-        rows = jnp.take(hash_rows, slot, axis=0)  # [..., 16]
+        rows = jnp.take(rows_table, slot, axis=0)  # [..., W]
         match = (
             (rows[..., 0] == cxf) & (rows[..., 1] == cyf) & (rows[..., 2] == czf)
         )
         take = match & ~found
-        out = jnp.where(take[..., None], rows[..., 3:16], out)
+        out = jnp.where(take[..., None], rows[..., 3:], out)
         return out, found | match
 
-    out, found = jax.lax.fori_loop(0, max_probes, body, (out, found))
+    return jax.lax.fori_loop(0, max_probes, body, (out, found))
+
+
+def probe_hash_rows(
+    hash_rows: jnp.ndarray,
+    max_probes: jnp.ndarray,
+    cx: jnp.ndarray,
+    cy: jnp.ndarray,
+    cz: jnp.ndarray,
+):
+    """Thin-layout probe: returns the 10 stats channels (mu x3, S upper x6,
+    occupied) of the matching row, zeros when missing."""
+    out, found = probe_rows(hash_rows, max_probes, cx, cy, cz)
     occ = out[..., 9] * found.astype(jnp.float32)
     return (
         out[..., 0], out[..., 1], out[..., 2],  # mu
@@ -228,12 +313,72 @@ def ndt_score_terms(
     terms are dropped; LM damping in the solver covers the difference — see
     models/registration.py).
 
+    Hot path (DIRECT7): ONE fat-row probe per point per probe round fetches
+    all seven neighbor Gaussians at once — TPU gathers are index-bound, so
+    7x fewer indices than per-offset probing (ndt_score_terms_thin keeps the
+    per-offset path for DIRECT1 and as a cross-check oracle; the two paths
+    are bit-identical on the same target, tests/test_ndt.py).
+
     Implementation is structure-of-arrays: every intermediate is a flat
     [K, N] channel array. Tensor-of-small-matrices forms ([N, K, 3, 3]
     einsums) lower to batched 3x3 dot_generals that strand the MXU at <1%
     utilization — the channel form stays on the VPU at full lane width.
     """
-    K = offsets.shape[0]
+    if offsets.shape[0] != DIRECT7_OFFSETS.shape[0]:
+        return ndt_score_terms_thin(target, xyz, valid, T, offsets)
+
+    K = DIRECT7_OFFSETS.shape[0]
+    R, t = T[:3, :3], T[:3, 3]
+    px, py, pz = xyz[:, 0], xyz[:, 1], xyz[:, 2]
+    qx = R[0, 0] * px + R[0, 1] * py + R[0, 2] * pz + t[0]
+    qy = R[1, 0] * px + R[1, 1] * py + R[1, 2] * pz + t[1]
+    qz = R[2, 0] * px + R[2, 1] * py + R[2, 2] * pz + t[2]
+
+    cx = jnp.floor(qx * target.inv_leaf).astype(jnp.int32)
+    cy = jnp.floor(qy * target.inv_leaf).astype(jnp.int32)
+    cz = jnp.floor(qz * target.inv_leaf).astype(jnp.int32)
+    # ONE fat-row gather per probe round: [N, 77] -> all 7 neighbor Gaussians
+    payload, _found = probe_rows(
+        target.fat_rows, target.fat_table.max_probes, cx, cy, cz
+    )
+    # [N, K*10] -> channel layout [K, 10, N]
+    ch = payload[:, : K * 10].reshape(-1, K, 10).transpose(1, 2, 0)
+    mux, muy, muz = ch[:, 0], ch[:, 1], ch[:, 2]
+    s00, s01, s02 = ch[:, 3], ch[:, 4], ch[:, 5]
+    s11, s12, s22 = ch[:, 6], ch[:, 7], ch[:, 8]
+    occ = ch[:, 9]
+    hit = (occ > 0.5) & valid[None, :]
+    w_hit = hit.astype(qx.dtype)
+
+    xx = qx[None, :] - mux  # residual channels [K,N]
+    xy = qy[None, :] - muy
+    xz = qz[None, :] - muz
+    ax = s00 * xx + s01 * xy + s02 * xz  # a = S x
+    ay = s01 * xx + s11 * xy + s12 * xz
+    az = s02 * xx + s12 * xy + s22 * xz
+    m = xx * ax + xy * ay + xz * az  # Mahalanobis^2
+    e = jnp.exp(-0.5 * target.d2 * m) * w_hit
+    score = target.d1 * jnp.sum(e)
+    coef = (-target.d1 * target.d2) * e  # positive (d1 < 0)
+
+    grad, H = gn_terms_channels(
+        coef,
+        qx[None, :], qy[None, :], qz[None, :],
+        ax, ay, az,
+        s00, s01, s02, s11, s12, s22,
+    )
+    n_corr = jnp.sum(hit.astype(jnp.int32))
+    return score, grad, H, n_corr
+
+
+def ndt_score_terms_thin(
+    target: NDTTarget,
+    xyz: jnp.ndarray,
+    valid: jnp.ndarray,
+    T: jnp.ndarray,
+    offsets: jnp.ndarray = DIRECT7_OFFSETS,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-offset (thin-row) evaluation — DIRECT1 path and fat-row oracle."""
     R, t = T[:3, :3], T[:3, 3]
     # transformed point channels [N]
     px, py, pz = xyz[:, 0], xyz[:, 1], xyz[:, 2]
@@ -245,7 +390,7 @@ def ndt_score_terms(
     cy = jnp.floor(qy * target.inv_leaf).astype(jnp.int32)
     cz = jnp.floor(qz * target.inv_leaf).astype(jnp.int32)
     # neighbor channels [K, N] (minor dim N: full-width tiles); the fused
-    # hash-row probe costs ONE row gather per probe round for everything
+    # hash-row probe costs ONE row gather per probe round per offset
     (mux, muy, muz, s00, s01, s02, s11, s12, s22, occ) = probe_hash_rows(
         target.hash_rows,
         target.table.max_probes,

@@ -70,3 +70,46 @@ def test_gicp_facade():
         np.asarray(reg.get_final_transformation()), np.eye(4), atol=1e-2
     )
     assert reg.get_fitness_score() < 1e-2
+
+
+def test_gicp_fat_rows_match_thin_probe():
+    """The GICP fat-row table (one gather fetches all 7 DIRECT7 neighbor
+    Gaussians) must agree channel-for-channel with 7 per-offset probes of
+    the thin hash-row table, including query cells that are themselves
+    empty but have occupied face neighbors (the dilation guarantee)."""
+    from lidarslam_ros2_tpu.ops.ndt import (
+        DIRECT7_OFFSETS,
+        probe_hash_rows,
+        probe_rows,
+    )
+
+    rng = np.random.default_rng(5)
+    centers = rng.normal(scale=12.0, size=(48, 3)).astype(np.float32)
+    pts = (
+        centers[:, None, :] + rng.normal(scale=0.4, size=(48, 128, 3))
+    ).reshape(-1, 3).astype(np.float32)
+    cloud = PointCloud.from_numpy(pts, 8192)
+    cfg = GICPConfig(voxel_resolution=1.0, voxel_capacity=4096)
+    target = gicp_build_target(cfg, cloud).dist
+    assert int(target.n_fat_dropped) == 0
+
+    # query at every point's cell plus a shifted set (some empty own-cells)
+    q = np.concatenate([pts, pts + np.float32([0.0, 0.0, 0.9])])
+    c = np.floor(q * float(target.inv_leaf)).astype(np.int32)
+    cx, cy, cz = (jnp.asarray(c[:, j]) for j in range(3))
+
+    payload, _ = probe_rows(target.fat_rows, target.fat_table.max_probes, cx, cy, cz)
+    K = DIRECT7_OFFSETS.shape[0]
+    fat = np.asarray(payload[:, : K * 10]).reshape(-1, K, 10)
+
+    off = DIRECT7_OFFSETS
+    thin = probe_hash_rows(
+        target.hash_rows,
+        target.table.max_probes,
+        cx[None, :] + off[:, 0:1],
+        cy[None, :] + off[:, 1:2],
+        cz[None, :] + off[:, 2:3],
+    )  # 10 channels each [K, N]
+    thin = np.stack([np.asarray(ch) for ch in thin], axis=-1).transpose(1, 0, 2)
+    np.testing.assert_allclose(fat, thin, rtol=0, atol=0)
+    assert thin[..., 9].sum() > 0

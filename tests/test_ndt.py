@@ -165,3 +165,40 @@ def test_nn_and_fitness(rng):
     np.testing.assert_allclose(d2[:700], ref, atol=1e-4)
     fit = float(fitness_score(sc.xyz, sc.valid, tc.xyz, tc.valid))
     np.testing.assert_allclose(fit, ref.mean(), rtol=1e-4)
+
+
+def test_fat_row_probe_matches_thin_path(rng):
+    """The one-gather-per-point fat-row DIRECT7 path must be numerically
+    IDENTICAL to the per-offset thin probe (same hash semantics, same
+    Gaussians), including points whose own cell is empty but whose face
+    neighbors are occupied (the dilation guarantee)."""
+    import jax.numpy as jnp
+
+    from lidarslam_ros2_tpu.core.pointcloud import PointCloud
+    from lidarslam_ros2_tpu.ops import ndt as ndt_ops
+
+    centers = rng.normal(scale=15.0, size=(64, 3)).astype(np.float32)
+    pts = (
+        centers[:, None, :] + rng.normal(scale=0.5, size=(64, 256, 3))
+    ).reshape(-1, 3).astype(np.float32)
+    cloud = PointCloud.from_numpy(pts, 32768)
+    target = ndt_ops.build_ndt_target(cloud, resolution=2.0, voxel_capacity=2048)
+    assert int(target.n_fat_dropped) == 0
+
+    src = pts[:8000] + np.float32([0.3, -0.2, 0.1])
+    sc = PointCloud.from_numpy(src, 8192)
+    T = jnp.eye(4, dtype=jnp.float32)
+    s1, g1, H1, n1 = ndt_ops.ndt_score_terms(target, sc.xyz, sc.valid, T)
+    s2, g2, H2, n2 = ndt_ops.ndt_score_terms_thin(target, sc.xyz, sc.valid, T)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(H1), np.asarray(H2), rtol=1e-5, atol=1e-4)
+    assert int(n1) == int(n2)
+
+    # empty-center-cell points (shifted off the surface) still correspond
+    far = pts[:200] + np.float32([0.0, 0.0, 1.9])
+    fc = PointCloud.from_numpy(far, 256)
+    sa, _, _, na = ndt_ops.ndt_score_terms(target, fc.xyz, fc.valid, T)
+    sb, _, _, nb = ndt_ops.ndt_score_terms_thin(target, fc.xyz, fc.valid, T)
+    assert int(na) == int(nb) and int(na) > 0
+    np.testing.assert_allclose(np.asarray(sa), np.asarray(sb), rtol=1e-6)
