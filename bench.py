@@ -150,7 +150,10 @@ def _bench_full_slam():
     )
 
     fcfg = FrontendConfig(
-        ndt=NDTConfig(resolution=2.0, voxel_capacity=16384, max_iterations=30,
+        # coarse 4.0 m level first: the circle course sustains 3.75 deg/scan,
+        # outside the single-level res-2.0 basin under prev-pose seeding
+        ndt=NDTConfig(resolution=2.0, coarse_resolutions=(4.0,),
+                      voxel_capacity=16384, max_iterations=30,
                       compute_fitness=False),
         trans_for_mapupdate=1.0,
         vg_size_for_input=0.2,
@@ -161,7 +164,8 @@ def _bench_full_slam():
         keyframe_capacity=16384,
     )
     bcfg = BackendConfig(
-        ndt=NDTConfig(resolution=2.0, max_iterations=60, voxel_capacity=16384),
+        ndt=NDTConfig(resolution=2.0, coarse_resolutions=(4.0,),
+                      max_iterations=60, voxel_capacity=16384),
         threshold_loop_closure_score=1.0,
         distance_loop_closure=15.0,
         range_of_searching_loop_closure=5.0,

@@ -78,6 +78,11 @@ def frontend_from_params(p: Dict[str, Any]) -> Tuple[FrontendConfig, NodeOptions
         # transformation_epsilon 0.01 hardcoded in the reference (:108)
         compute_fitness=bool(p.get("debug_flag", False)),
         voxel_capacity=int(p.get("ndt_voxel_capacity", 16384)),
+        # extension beyond the reference: optional coarse-to-fine pyramid
+        # (widens the basin under fast rotation; () = reference behavior)
+        coarse_resolutions=tuple(
+            float(r) for r in p.get("ndt_coarse_resolutions", ())
+        ),
     )
     gicp = GICPConfig(
         max_correspondence_distance=float(p.get("gicp_corr_dist_threshold", 5.0)),
@@ -123,6 +128,9 @@ def backend_from_params(p: Dict[str, Any]) -> BackendConfig:
             resolution=float(p.get("ndt_resolution", 5.0)),
             max_iterations=100,  # hardcoded in the reference (:66)
             voxel_capacity=int(p.get("ndt_voxel_capacity", 16384)),
+            coarse_resolutions=tuple(
+                float(r) for r in p.get("ndt_coarse_resolutions", ())
+            ),
         ),
         gicp=GICPConfig(
             max_correspondence_distance=30.0,  # hardcoded (:76)

@@ -43,6 +43,14 @@ class NDTConfig:
     """NDT tuning, defaults = the reference's frontend configuration."""
 
     resolution: float = 5.0  # scanmatcher param ndt_resolution default
+    # optional multi-resolution pyramid: coarser levels aligned FIRST, each
+    # seeding the next. Widens the convergence basin far beyond single-level
+    # NDT (a prev-pose seed with fast rotation sticks in a local optimum
+    # ~0.2 voxel away at one level; a 2x-coarser level recovers it), at the
+    # cost of one extra target build per level (keyframe-rate, not per-scan).
+    # () = reference-faithful single-resolution behavior.
+    coarse_resolutions: tuple = ()
+    coarse_max_iterations: int = 10
     transformation_epsilon: float = 0.01
     max_iterations: int = 35  # PCL NDT default (frontend never overrides)
     outlier_ratio: float = 0.55
@@ -187,6 +195,7 @@ def _lm_loop(eval_terms, guess, eps, max_iter, lam0, up, down, lam_max):
 class NDTTargetState(NamedTuple):
     ndt: ndt_ops.NDTTarget
     raw: PointCloud  # for fitness-score NN queries
+    coarse: tuple = ()  # NDTTarget per cfg.coarse_resolutions level
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -199,7 +208,18 @@ def ndt_build_target(cfg: NDTConfig, cloud: PointCloud) -> NDTTargetState:
         min_points=cfg.min_points_per_voxel,
         dilation_factor=cfg.dilation_factor,
     )
-    return NDTTargetState(ndt=ndt, raw=cloud)
+    coarse = tuple(
+        ndt_ops.build_ndt_target(
+            cloud,
+            resolution=r,
+            voxel_capacity=cfg.voxel_capacity,
+            outlier_ratio=cfg.outlier_ratio,
+            min_points=cfg.min_points_per_voxel,
+            dilation_factor=cfg.dilation_factor,
+        )
+        for r in cfg.coarse_resolutions
+    )
+    return NDTTargetState(ndt=ndt, raw=cloud, coarse=coarse)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -216,12 +236,32 @@ def ndt_align(
     )
     xyz, valid = source.xyz, source.valid
 
+    # pyramid: coarse-to-fine — each coarser level's result seeds the next.
+    # The coarse passes only need to land INSIDE the fine basin, so they run
+    # few iterations with a resolution-scaled epsilon.
+    T = guess
+    for lvl, tgt in zip(cfg.coarse_resolutions, target.coarse):
+
+        def eval_coarse(Tc, _tgt=tgt):
+            return ndt_ops.ndt_score_terms(_tgt, xyz, valid, Tc, offsets)
+
+        T, _, _, _, _ = _lm_loop(
+            eval_coarse,
+            T,
+            cfg.transformation_epsilon * lvl / cfg.resolution,
+            cfg.coarse_max_iterations,
+            cfg.lambda_init,
+            cfg.lambda_up,
+            cfg.lambda_down,
+            cfg.lambda_max,
+        )
+
     def eval_terms(T):
         return ndt_ops.ndt_score_terms(target.ndt, xyz, valid, T, offsets)
 
     T, converged, it, score, n_corr = _lm_loop(
         eval_terms,
-        guess,
+        T,
         cfg.transformation_epsilon,
         cfg.max_iterations,
         cfg.lambda_init,

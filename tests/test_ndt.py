@@ -1,5 +1,6 @@
 """NDT score/grad/Hessian vs numpy oracle + full registration recovery."""
 
+import dataclasses
 import numpy as np
 import jax.numpy as jnp
 
@@ -202,3 +203,53 @@ def test_fat_row_probe_matches_thin_path(rng):
     sb, _, _, nb = ndt_ops.ndt_score_terms_thin(target, fc.xyz, fc.valid, T)
     assert int(na) == int(nb) and int(na) > 0
     np.testing.assert_allclose(np.asarray(sa), np.asarray(sb), rtol=1e-6)
+
+
+def test_resolution_pyramid_widens_basin():
+    """Under fast rotation (3.75 deg/scan circle course) the single-level
+    res-2.0 NDT sticks in a local optimum ~0.2 m / 3 deg from truth when
+    seeded with the previous pose; a coarse 4.0 m pyramid level recovers it.
+    Measured on TPU: single-res terr 0.197/rerr 3.0 deg vs pyramid 0.002."""
+    import jax.numpy as jnp
+
+    from lidarslam_ros2_tpu.core import se3
+    from lidarslam_ros2_tpu.core.pointcloud import PointCloud
+    from lidarslam_ros2_tpu.models.registration import (
+        NDTConfig,
+        ndt_align,
+        ndt_build_target,
+    )
+    from lidarslam_ros2_tpu.ops.voxelize import voxel_downsample
+    from lidarslam_ros2_tpu.utils.synthetic import (
+        VLP16, World, circle_trajectory, simulate_scan,
+    )
+
+    world = World(seed=7)
+    gt = circle_trajectory(97, radius=4.0)
+    tgt_pts = []
+    for k in (0, 4, 8, 12, 16):
+        s = simulate_scan(world, gt[k], VLP16, noise=0.01, seed=100 + k)
+        tgt_pts.append(s[:, :3] @ gt[k][:3, :3].T + gt[k][:3, 3])
+    tgt_pts = np.concatenate(tgt_pts).astype(np.float32)
+    window = voxel_downsample(
+        PointCloud.from_numpy(tgt_pts, 131072), 0.1, 65536
+    )
+    k = 17
+    scan = simulate_scan(world, gt[k], VLP16, noise=0.01, seed=100 + k)
+    src = voxel_downsample(PointCloud.from_numpy(scan[:, :3], 16384), 0.2, 8192)
+    seed = jnp.asarray(gt[k - 1])  # previous-pose seeding
+
+    def err_of(cfg):
+        target = ndt_build_target(cfg, window)
+        res = ndt_align(cfg, target, src, seed)
+        e = np.asarray(se3.se3_log(jnp.asarray(np.linalg.inv(gt[k]) @ np.asarray(res.T))))
+        return np.linalg.norm(e[:3]), np.degrees(np.linalg.norm(e[3:]))
+
+    single = NDTConfig(resolution=2.0, voxel_capacity=8192, max_iterations=40,
+                       compute_fitness=False)
+    pyr = dataclasses.replace(single, coarse_resolutions=(4.0,))
+    t1, r1 = err_of(single)
+    t2, r2 = err_of(pyr)
+    assert t2 < 0.05 and r2 < 0.5, (t2, r2)
+    # the pyramid must beat single-res markedly on this adversarial seed
+    assert t2 < t1 / 2 or t1 < 0.05, (t1, t2)
