@@ -30,7 +30,7 @@ from ..core.voxel import (
     voxel_coords,
 )
 from .gn_terms import gn_terms_channels, inv3x3_sym_channels
-from .ndt import DIRECT7_OFFSETS, build_fat_rows, build_hash_rows, probe_rows
+from .ndt import DIRECT7_OFFSETS, build_fat_rows, build_hash_rows, probe_fat_rows
 from .voxelize import voxel_stats
 
 
@@ -83,7 +83,7 @@ class GICPTarget(NamedTuple):
     packed: jnp.ndarray  # f32[V,12]: mu(3), cov upper(6), valid(1), pad(2)
     hash_rows: jnp.ndarray  # f32[H,16] fused probe+stats rows (see ops/ndt.py)
     table: VoxelHashTable
-    fat_rows: jnp.ndarray  # f32[H2,80] DIRECT7 fat rows (see ops/ndt.py)
+    fat_rows: jnp.ndarray  # f32[n_buckets,256] bucketed DIRECT7 fat rows (ops/ndt.py)
     fat_table: VoxelHashTable
     n_fat_dropped: jnp.ndarray
     inv_leaf: jnp.ndarray
@@ -209,7 +209,7 @@ def gicp_score_terms(
     cz = jnp.floor(qz * target.inv_leaf).astype(jnp.int32)
     off = DIRECT7_OFFSETS
     K = off.shape[0]
-    payload, _found = probe_rows(
+    payload, _found = probe_fat_rows(
         target.fat_rows, target.fat_table.max_probes, cx, cy, cz
     )
     chs = payload[:, : K * 10].reshape(-1, K, 10).transpose(1, 2, 0)  # [K,10,N]

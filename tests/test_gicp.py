@@ -79,8 +79,8 @@ def test_gicp_fat_rows_match_thin_probe():
     empty but have occupied face neighbors (the dilation guarantee)."""
     from lidarslam_ros2_tpu.ops.ndt import (
         DIRECT7_OFFSETS,
+        probe_fat_rows,
         probe_hash_rows,
-        probe_rows,
     )
 
     rng = np.random.default_rng(5)
@@ -98,7 +98,7 @@ def test_gicp_fat_rows_match_thin_probe():
     c = np.floor(q * float(target.inv_leaf)).astype(np.int32)
     cx, cy, cz = (jnp.asarray(c[:, j]) for j in range(3))
 
-    payload, _ = probe_rows(target.fat_rows, target.fat_table.max_probes, cx, cy, cz)
+    payload, _ = probe_fat_rows(target.fat_rows, target.fat_table.max_probes, cx, cy, cz)
     K = DIRECT7_OFFSETS.shape[0]
     fat = np.asarray(payload[:, : K * 10]).reshape(-1, K, 10)
 
