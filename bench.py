@@ -207,6 +207,65 @@ def _bench_full_slam():
     }
 
 
+def _bench_multistream():
+    """BASELINE config 5: 8 concurrent odometry streams vmapped as ONE XLA
+    program on one chip. The single-stream frontend is gather/index-bound
+    with the chip idle most of each step — batching streams shares the
+    compiled program and fills the machine; this measures aggregate
+    throughput (the honest TPU win over multicore CPU, see PARITY.md)."""
+    import jax
+
+    from lidarslam_ros2_tpu.models.registration import NDTConfig
+    from lidarslam_ros2_tpu.odometry.frontend import FrontendConfig
+    from lidarslam_ros2_tpu.parallel.multistream import MultiStreamSlam
+    from lidarslam_ros2_tpu.utils.synthetic import (
+        VLP32, World, line_trajectory, simulate_scan,
+    )
+
+    S = 8
+    cfg = FrontendConfig(
+        ndt=NDTConfig(resolution=2.0, voxel_capacity=8192, max_iterations=20,
+                      compute_fitness=False),
+        trans_for_mapupdate=1.0,
+        vg_size_for_input=0.2,
+        vg_size_for_map=0.1,
+        num_targeted_cloud=5,
+        scan_capacity=32768,
+        input_capacity=8192,
+        keyframe_capacity=8192,
+    )
+    world = World(seed=3)
+    poses = line_trajectory(6, step=0.3)
+    P = cfg.scan_capacity
+    frames = []
+    for k, pose in enumerate(poses):
+        scan = simulate_scan(world, pose, VLP32, noise=0.01, seed=k, n_steps=48)
+        pad = np.full((P, 4), np.inf, dtype=np.float32)
+        pad[: min(len(scan), P)] = scan[:P]
+        frames.append(pad)
+    batch = [np.stack([frames[k]] * S) for k in range(len(frames))]
+
+    ms = MultiStreamSlam(cfg, S)
+    for k in range(2):  # compile + bootstrap keyframes
+        outs, stats = ms.step(batch[k])
+    jax.block_until_ready(ms.states.pose)
+    t0 = time.perf_counter()
+    n_steps = 0
+    for _ in range(3):
+        for k in range(2, len(batch)):
+            outs, stats = ms.step(batch[k])
+            n_steps += 1
+    jax.block_until_ready(ms.states.pose)
+    dt = (time.perf_counter() - t0) / n_steps
+    return {
+        "streams": S,
+        "step_ms": round(1000 * dt, 2),
+        "scans_per_sec_aggregate": round(S / dt, 1),
+        "mean_iterations": round(float(stats.mean_iterations), 1),
+        "note": "every step includes the branchless per-stream target rebuild",
+    }
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -273,6 +332,7 @@ def main():
             ("cpu_ndt_baseline", lambda: _bench_cpu_ndt(
                 window, source, np.asarray(guess), ms_per_iter)),
             ("gicp", lambda: _bench_gicp(window, source, guess)),
+            ("multistream", _bench_multistream),
             ("full_slam", _bench_full_slam),
         ):
             try:

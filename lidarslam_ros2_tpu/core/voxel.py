@@ -222,6 +222,73 @@ def build_hash_table(
     return VoxelHashTable(slot_coords, slot_idx, rounds, n_unplaced)
 
 
+def build_bucket_table_sorted(
+    coords: jnp.ndarray,
+    valid: jnp.ndarray,
+    n_buckets: int,
+    lanes: int,
+    max_rounds: int = 6,
+) -> VoxelHashTable:
+    """Bucketed hash table built by SORT-RANK placement instead of
+    scatter-contention rounds.
+
+    Each round sorts the unplaced items by target bucket; the rank within a
+    bucket group plus the bucket's current occupancy gives the lane
+    directly, so a whole round places every non-overflowing item with one
+    sort + a handful of scatters. Round 1 places everything except items in
+    buckets receiving more than ``lanes`` entries (birthday-statistics rare);
+    those retry the next bucket. ~5x faster to build than the
+    scatter-min insertion loop at fat-table sizes, same linear-probe
+    invariant for readers: an item that lands ``r`` buckets from home
+    implies every bucket on the way was full (occupancy only grows).
+
+    ``max_probes`` is returned in FLAT slots (rounds_used * lanes) so
+    bucket-granular readers recover rounds as ``ceil(max_probes/lanes)``.
+    """
+    D = coords.shape[0]
+    H = n_buckets * lanes
+    assert n_buckets & (n_buckets - 1) == 0
+    ids = jnp.arange(D, dtype=jnp.int32)
+    home = hash_coords(coords, n_buckets)
+
+    def cond(state):
+        r, placed, *_ = state
+        return (r < max_rounds) & jnp.any(valid & ~placed)
+
+    def body(state):
+        r, placed, occ, slot_coords, slot_idx = state
+        want = valid & ~placed
+        target = jnp.where(want, (home + r) & (n_buckets - 1), n_buckets)
+        tb, tid = jax.lax.sort((target, ids), num_keys=1, is_stable=True)
+        first = jnp.ones((D,), bool).at[1:].set(tb[1:] != tb[:-1])
+        pos = jnp.arange(D, dtype=jnp.int32)
+        group_start = jax.lax.cummax(jnp.where(first, pos, 0))
+        rank = pos - group_start
+        lane_id = jnp.take(occ, jnp.minimum(tb, n_buckets), axis=0) + rank
+        ok = (tb < n_buckets) & (lane_id < lanes)
+        slot = jnp.where(ok, tb * lanes + lane_id, H)
+        slot_idx = slot_idx.at[slot].set(jnp.where(ok, tid, -1), mode="drop")
+        slot_coords = slot_coords.at[slot].set(
+            jnp.take(coords, tid, axis=0), mode="drop"
+        )
+        # tid is a permutation (full-array sort), so this scatter is
+        # conflict-free
+        placed = placed.at[tid].set(jnp.take(placed, tid, axis=0) | ok)
+        occ = occ.at[jnp.where(ok, tb, n_buckets)].add(1, mode="drop")
+        return r + 1, placed, occ, slot_coords, slot_idx
+
+    init = (
+        jnp.int32(0),
+        jnp.zeros((D,), bool),
+        jnp.zeros((n_buckets + 1,), jnp.int32),
+        jnp.full((H, 3), INT32_MAX, dtype=jnp.int32),
+        jnp.full((H,), -1, dtype=jnp.int32),
+    )
+    rounds, placed, _, slot_coords, slot_idx = jax.lax.while_loop(cond, body, init)
+    n_unplaced = jnp.sum((valid & ~placed).astype(jnp.int32))
+    return VoxelHashTable(slot_coords, slot_idx, rounds * lanes, n_unplaced)
+
+
 def lookup_hash_table_channels(
     table: VoxelHashTable, cx: jnp.ndarray, cy: jnp.ndarray, cz: jnp.ndarray
 ) -> jnp.ndarray:

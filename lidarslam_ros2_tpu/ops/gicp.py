@@ -118,7 +118,7 @@ def build_gicp_target(
         axis=-1,
     )
     fat_rows, fat_table, n_fat_dropped = build_fat_rows(
-        table, packed, stats.coords, stats.valid,
+        packed, stats.coords, stats.valid,
         dilated_capacity=dilation_factor * voxel_capacity,
     )
     return GICPTarget(

@@ -20,15 +20,19 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core import se3
 from ..core.pointcloud import PointCloud
 from ..core.voxel import (
+    INT32_MAX,
     VoxelHashTable,
+    build_bucket_table_sorted,
     build_hash_table,
     hash_channels,
     lookup_hash_table,
-    unique_coords,
+    pack_keys,
+    segment_ids_from_sorted_keys,
 )
 from .gn_terms import gn_terms_channels
 from .voxelize import VoxelStats, voxel_stats
@@ -141,7 +145,7 @@ def build_ndt_target(
     packed = _pack_stats(stats)
     hash_rows = build_hash_rows(table, packed)
     fat_rows, fat_table, n_fat_dropped = build_fat_rows(
-        table, packed, stats.coords, stats.valid,
+        packed, stats.coords, stats.valid,
         dilated_capacity=dilation_factor * voxel_capacity,
     )
     return NDTTarget(
@@ -170,8 +174,17 @@ FAT_STRIDE = 3 + 70  # coords + 7 Gaussians x 10 channels
 FAT_WIDTH = 256
 
 
+# opposite-offset lane map: v = d + OFFSETS[opp(k)] when d = v + OFFSETS[k]
+_OPP = jnp.asarray(
+    [
+        int(np.argmax((np.asarray(DIRECT7_OFFSETS) == -o).all(axis=1)))
+        for o in np.asarray(DIRECT7_OFFSETS)
+    ],
+    dtype=jnp.int32,
+)
+
+
 def build_fat_rows(
-    table: VoxelHashTable,
     packed: jnp.ndarray,
     coords: jnp.ndarray,
     valid: jnp.ndarray,
@@ -179,34 +192,73 @@ def build_fat_rows(
 ) -> Tuple[jnp.ndarray, VoxelHashTable, jnp.ndarray]:
     """Build the DIRECT7 bucketed fat-row index (see NDTTarget docstring).
 
-    Keyframe-rate work (not per-iteration): one dedupe sort over 7V dilated
-    candidates + 7 thin-table lookups per dilated cell.
+    Keyframe-rate work (not per-iteration), and built WITHOUT any hash
+    lookups: each candidate ``d = v + OFFSETS[k]`` of the dilation sort
+    already knows its contributing voxel ``v`` and the neighbor lane it
+    fills (``v`` sits at offset ``OFFSETS[opp(k)]`` of ``d``), so the
+    payload assembles with ONE row gather + ONE scatter over the 7V
+    candidates — ~5x fewer index operations than probing a hash table per
+    (cell, neighbor) pair, which previously dominated target-build time.
     """
     K = DIRECT7_OFFSETS.shape[0]
+    V = coords.shape[0]
     # dilated cell set: every cell with >= 1 occupied DIRECT7 neighbor
     # (DIRECT7 offsets are symmetric, so dilation == erosion stencil)
     cand = (coords[:, None, :] + DIRECT7_OFFSETS[None, :, :]).reshape(-1, 3)
     cvalid = jnp.repeat(valid, K)
-    dcoords, dvalid, n_dropped = unique_coords(cand, cvalid, dilated_capacity)
+    src_row = jnp.repeat(jnp.arange(V, dtype=jnp.int32), K)
+    lane = jnp.tile(_OPP, V)
+
+    key_a, key_b = pack_keys(cand, cvalid)
+    key_a, key_b, cx, cy, cz, src_s, lane_s = jax.lax.sort(
+        (key_a, key_b, cand[:, 0], cand[:, 1], cand[:, 2], src_row, lane),
+        num_keys=2,
+    )
+    svalid = key_a != INT32_MAX
+    seg, used = segment_ids_from_sorted_keys(
+        key_a, key_b, svalid, dilated_capacity
+    )
+    n_dropped = jnp.maximum(used - dilated_capacity, 0)
+    big = jnp.iinfo(jnp.int32).min
+    dcoords = jnp.stack(
+        [
+            jax.ops.segment_max(jnp.where(svalid, c, big), seg,
+                                num_segments=dilated_capacity + 1)[:dilated_capacity]
+            for c in (cx, cy, cz)
+        ],
+        axis=-1,
+    )
+    dvalid = (
+        jax.ops.segment_sum(
+            svalid.astype(jnp.int32), seg, num_segments=dilated_capacity + 1
+        )[:dilated_capacity]
+        > 0
+    )
+    dcoords = jnp.where(dvalid[:, None], dcoords, INT32_MAX)
+
     # >= 2*capacity slots, bucket count a power of two
     n_buckets = 1
     while n_buckets * FAT_LANES < 2 * dilated_capacity:
         n_buckets *= 2
-    fat_table = build_hash_table(
-        dcoords, dvalid, table_size=n_buckets * FAT_LANES,
-        bucket_lanes=FAT_LANES,
+    fat_table = build_bucket_table_sorted(
+        dcoords, dvalid, n_buckets, FAT_LANES
     )
-    # per dilated cell: inline all 7 neighbor Gaussians (10 channels each)
-    ncoords = dcoords[:, None, :] + DIRECT7_OFFSETS[None, :, :]  # [D,K,3]
-    idx = lookup_hash_table(table, ncoords)  # i32[D,K]
-    rows = packed[jnp.maximum(idx, 0)]  # f32[D,K,12]
-    occ = rows[..., 9] * (idx >= 0)
-    # zero unoccupied entries' stat channels: packed rows of invalid voxels
-    # carry sentinel means (1e8) that would otherwise overflow downstream
-    # channel math to inf/nan; zeros also make fat == thin bit-for-bit.
-    payload = jnp.concatenate(
-        [rows[..., 0:9] * occ[..., None], occ[..., None]], axis=-1
-    ).reshape(-1, K * 10)  # [D, 70]
+
+    # payload scatter: candidate (v, k) fills lane opp(k) of cell seg.
+    # zero stays in unoccupied lanes (packed sentinel means of invalid
+    # voxels would otherwise overflow downstream channel math to inf/nan;
+    # zeros also make fat == thin bit-for-bit).
+    prow = packed[jnp.maximum(src_s, 0)]  # [VK, 12]
+    occm = prow[:, 9] * svalid
+    pay = jnp.concatenate([prow[:, 0:9] * occm[:, None], occm[:, None]], axis=1)
+    trash = dilated_capacity * K
+    dest = jnp.where(svalid & (seg < dilated_capacity), seg * K + lane_s, trash)
+    payload = (
+        jnp.zeros((trash + 1, 10), jnp.float32)
+        .at[dest]
+        .set(pay, mode="drop")[:trash]
+        .reshape(dilated_capacity, K * 10)
+    )  # [D, 70]
 
     # fuse into per-lane rows [H2, 73], then pack lanes into bucket rows
     H2 = fat_table.slot_idx.shape[0]  # n_buckets * FAT_LANES

@@ -144,3 +144,44 @@ def test_downsample_jit_and_vmap(rng):
         _sorted_rows(np.asarray(single.xyz)[np.asarray(single.valid)]),
         atol=1e-4,
     )
+
+
+def test_bucket_table_sorted_spill_and_lookup():
+    """Sort-rank bucket placement: overfull buckets spill to the next bucket
+    while keeping the linear-probe invariant (an item r buckets from home
+    implies every bucket on the way is full), and max_probes bounds it."""
+    from lidarslam_ros2_tpu.core.voxel import (
+        build_bucket_table_sorted, hash_coords,
+    )
+
+    rng = np.random.default_rng(0)
+    n_buckets, lanes = 4, 2  # tiny: guaranteed heavy spilling
+    coords = jnp.asarray(rng.integers(-50, 50, size=(24, 3)), jnp.int32)
+    # dedupe host-side (builder contract: unique coords among valid rows)
+    coords = jnp.asarray(np.unique(np.asarray(coords), axis=0))
+    D = coords.shape[0]
+    valid = jnp.ones((D,), bool)
+    t = build_bucket_table_sorted(coords, valid, n_buckets, lanes)
+
+    placed = int(jnp.sum(t.slot_idx >= 0))
+    assert placed + int(t.n_unplaced) == D
+    assert placed > 0
+    # every placed item is findable within max_probes bucket rounds, and the
+    # chain from its home bucket to its slot is fully occupied
+    home = np.asarray(hash_coords(coords, n_buckets))
+    slot_idx = np.asarray(t.slot_idx)
+    slot_of_item = {int(v): s for s, v in enumerate(slot_idx) if v >= 0}
+    rounds = -(-int(t.max_probes) // lanes)
+    for item, slot in slot_of_item.items():
+        b = slot // lanes
+        r = (b - home[item]) % n_buckets
+        assert r < rounds, (item, b, home[item], rounds)
+        for step in range(r):
+            bb = (home[item] + step) % n_buckets
+            lanes_occ = slot_idx[bb * lanes : (bb + 1) * lanes]
+            assert (lanes_occ >= 0).all(), "spill over a non-full bucket"
+    # slot coords mirror the items
+    for item, slot in slot_of_item.items():
+        np.testing.assert_array_equal(
+            np.asarray(t.slot_coords)[slot], np.asarray(coords)[item]
+        )
