@@ -18,6 +18,21 @@ import jax as _jax
 # for these small-K contractions, so pin the highest precision globally.
 _jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent XLA compilation cache: the pipeline compiles a dozen sizeable
+# programs (fused frontend step, target builds, backend aligns, graph solve);
+# first-compile costs 10-40 s each on TPU. Caching them on disk makes every
+# process after the first start hot. Opt out with LIDARSLAM_JAX_CACHE=''.
+import os as _os
+import tempfile as _tempfile
+
+_cache_dir = _os.environ.get(
+    "LIDARSLAM_JAX_CACHE",
+    _os.path.join(_tempfile.gettempdir(), "lidarslam_jax_cache"),
+)
+if _cache_dir and not _jax.config.jax_compilation_cache_dir:
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 from .core.pointcloud import PointCloud  # noqa: F401
 from .models.registration import (  # noqa: F401
     GICPConfig,

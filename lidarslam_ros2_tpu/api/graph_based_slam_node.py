@@ -42,6 +42,7 @@ class GraphBasedSlamNode:
         self._tick = threading.Event()  # latest-only tick queue (KeepLast(1))
         self._stop = threading.Event()
         self._worker: Optional[threading.Thread] = None
+        self._worker_error: Optional[BaseException] = None
         if async_mode:
             self._worker = threading.Thread(
                 target=self._worker_loop, name="graph_based_slam", daemon=True
@@ -73,11 +74,20 @@ class GraphBasedSlamNode:
             if not self._tick.wait(timeout=0.05):
                 continue
             self._tick.clear()
-            self.search_loop()
+            try:
+                self.search_loop()
+            except Exception as e:  # keep loop detection alive; surface later
+                import traceback
+
+                self._worker_error = e
+                traceback.print_exc()
 
     def join(self, timeout: float = 60.0) -> None:
         """Drain pending ticks, wait for any in-flight search, then run one
-        final search (deterministic end-of-bag flush). Safe in both modes."""
+        final search (deterministic end-of-bag flush). Safe in both modes.
+
+        Raises any exception that previously escaped the worker's
+        ``search_loop`` (the worker logs it and keeps running)."""
         if self._worker is not None:
             deadline = time.monotonic() + timeout
             while self._tick.is_set() and time.monotonic() < deadline:
@@ -85,6 +95,9 @@ class GraphBasedSlamNode:
             with self._busy:  # barrier: in-flight search finished
                 pass
         self.search_loop()
+        if self._worker_error is not None:
+            err, self._worker_error = self._worker_error, None
+            raise err
 
     def close(self) -> None:
         self._stop.set()
@@ -93,11 +106,15 @@ class GraphBasedSlamNode:
             self._worker = None
 
     def search_loop(self):
-        with self._lock:
-            ma = self.engine.poll_snapshot()
-        if ma is None:
-            return None
+        # _busy is taken BEFORE the snapshot poll: snapshot-consume + search
+        # must be atomic with respect to join()'s barrier, else join can slip
+        # between them, poll None, and return while a search is in flight
+        # (the scan path never takes _busy, so this cannot stall scans)
         with self._busy:
+            with self._lock:
+                ma = self.engine.poll_snapshot()
+            if ma is None:
+                return None
             edge = self.engine.search_loop(ma)
         if edge is not None:
             self.bus.publish("modified_map_array", self.engine.modified_map_array)

@@ -95,8 +95,10 @@ class LidarSlam:
         return self.results()
 
     def finish(self) -> None:
-        """Flush the async backend: drain pending loop-search ticks and run a
-        final search so results() is deterministic."""
+        """Flush the async frontend map update, then the async backend (drain
+        pending loop-search ticks and run a final search) so results() is
+        deterministic."""
+        self.scan_matcher.flush()
         self.graph_based_slam.join()
 
     def close(self) -> None:

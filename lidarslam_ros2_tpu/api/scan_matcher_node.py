@@ -124,7 +124,13 @@ class ScanMatcherNode:
                 self.global_frame_id, self.robot_frame_id, r["pose"], stamp
             )
             self.bus.publish("tf", ps)
-        if r["keyframe"]:
+        if r["first_scan"]:
+            # reference publishes /map once from initializeMap (:293)
+            self.bus.publish("map", self.engine.global_map())
+            self._last_map_time = stamp
+        if r["map_updated"]:
+            # the reference publishes /map_array from the mapping thread after
+            # integration completes (:466-481) — i.e. on adoption, not trigger
             self.bus.publish("map_array", self.engine.map_array)
             if self._last_map_time is None:
                 self._last_map_time = stamp
@@ -136,3 +142,9 @@ class ScanMatcherNode:
                 f"[scan_matcher] t={stamp:.2f} it={r['iterations']} "
                 f"conv={r['converged']} trans={r['trans']:.3f} kf={r['keyframe']}"
             )
+
+    def flush(self) -> None:
+        """Complete any in-flight keyframe integration and publish the final
+        map_array (end-of-stream determinism for the async map update)."""
+        if self.engine.flush_map_update():
+            self.bus.publish("map_array", self.engine.map_array)

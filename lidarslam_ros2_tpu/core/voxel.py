@@ -163,7 +163,6 @@ def build_hash_table(
     valid: jnp.ndarray,
     table_size: int,
     max_rounds: int = 64,
-    bucket_lanes: int = 1,
 ) -> VoxelHashTable:
     """Insert ``coords[V,3]`` (unique among valid rows) into an open-addressed
     table of ``table_size`` slots (power of two, should be >= 2*V).
@@ -172,22 +171,14 @@ def build_hash_table(
     ``(h + r) mod H``; conflicts are resolved by scatter-min on the item
     index ("lowest index wins"); losers retry next round. Deterministic and
     fully vectorized — the while_loop usually exits after <= 4 rounds at load
-    factor 0.5.
-
-    ``bucket_lanes > 1`` aligns the hash to bucket starts: the table is
-    ``table_size // bucket_lanes`` buckets (power of two) of ``bucket_lanes``
-    consecutive slots, and linear probing walks the lanes of a bucket before
-    spilling into the next bucket. A reader can then fetch one WHOLE bucket
-    per gather and resolve ``bucket_lanes`` candidates at once — on TPU,
-    where gathers are index-bound and row width is nearly free, this divides
-    the probe-round count by ``bucket_lanes`` (see ops/ndt.py fat rows).
+    factor 0.5. (Bucketed wide-row layouts live in
+    ``ops/ndt.py::build_bucket_table_sorted`` — this table's readers probe
+    slot-by-slot, so the hash here must stay slot-aligned.)
     """
     V = coords.shape[0]
     H = table_size
-    n_buckets = H // bucket_lanes
-    assert n_buckets * bucket_lanes == H
-    assert n_buckets & (n_buckets - 1) == 0, "bucket count must be a power of two"
-    h0 = hash_coords(coords, n_buckets) * jnp.int32(bucket_lanes)
+    assert H & (H - 1) == 0, "table size must be a power of two"
+    h0 = hash_coords(coords, H)
     item_ids = jnp.arange(V, dtype=jnp.int32)
 
     def cond(state):

@@ -228,7 +228,11 @@ def ndt_align(
     target: NDTTargetState,
     source: PointCloud,
     guess: jnp.ndarray,
+    max_iter: Optional[jnp.ndarray] = None,
 ) -> RegistrationResult:
+    """``max_iter`` optionally overrides ``cfg.max_iterations`` at runtime
+    (a traced scalar — varying it does NOT retrigger compilation, unlike the
+    config field; the bench's two-point slope timing relies on this)."""
     offsets = (
         ndt_ops.DIRECT7_OFFSETS
         if cfg.neighborhood == "DIRECT7"
@@ -263,7 +267,7 @@ def ndt_align(
         eval_terms,
         T,
         cfg.transformation_epsilon,
-        cfg.max_iterations,
+        cfg.max_iterations if max_iter is None else max_iter,
         cfg.lambda_init,
         cfg.lambda_up,
         cfg.lambda_down,
@@ -307,7 +311,9 @@ def gicp_align(
     source: PointCloud,
     source_cov: jnp.ndarray,
     guess: jnp.ndarray,
+    max_iter: Optional[jnp.ndarray] = None,
 ) -> RegistrationResult:
+    """``max_iter``: runtime iteration-cap override, see ``ndt_align``."""
     xyz, valid = source.xyz, source.valid
     max_d2 = cfg.max_correspondence_distance ** 2
 
@@ -318,7 +324,7 @@ def gicp_align(
         eval_terms,
         guess,
         cfg.transformation_epsilon,
-        cfg.max_iterations,
+        cfg.max_iterations if max_iter is None else max_iter,
         cfg.lambda_init,
         cfg.lambda_up,
         cfg.lambda_down,

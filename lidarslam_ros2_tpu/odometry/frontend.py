@@ -60,6 +60,18 @@ class FrontendConfig:
     num_targeted_cloud: int = 10
     use_imu: bool = False
     use_odom: bool = False
+    # async keyframe integration (the reference's mapping-thread double
+    # buffer, scanmatcher_component.cpp:300-322 + :427-434): the target
+    # rebuild is dispatched without blocking and adopted on a later scan once
+    # the device has finished it; meanwhile scans register against the old
+    # target. False = rebuild synchronously on the keyframe scan.
+    async_map_update: bool = True
+    # after this many polls, adopt with a (bounded) wait instead of relying on
+    # Array.is_ready — on remote-relay TPUs the client-side readiness flag can
+    # lag long after the device finished (single-stream device order means the
+    # rebuild completed before the previous scan's fetched result, so the wait
+    # is ~zero)
+    map_update_defer_scans: int = 1
     # --- capacities (static shapes) ---
     scan_capacity: int = 65536  # raw points per scan
     input_capacity: int = 16384  # after vg_size_for_input downsample
@@ -195,54 +207,59 @@ def frontend_step(
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def keyframe_update(
+def insert_keyframe(
     cfg: FrontendConfig, state: FrontendState, filtered_raw: PointCloud
 ) -> FrontendState:
-    """Insert a keyframe and rebuild the registration target
-    (reference updateMap, scanmatcher_component.cpp:438-491).
-
-    The keyframe cloud is stored in the LOCAL frame at vg_size_for_map; the
-    target is the concatenation of all ring keyframes transformed by their
-    stored poses (:452-464), compiled into an NDT/GICP voxel model.
-    """
+    """Ring-insert a keyframe cloud (LOCAL frame, vg_size_for_map) WITHOUT
+    rebuilding the registration target — the insert half of the reference's
+    updateMap (scanmatcher_component.cpp:438-475)."""
     kf_cloud, kf_dropped = voxel_downsample_counted(
         filtered_raw, cfg.vg_size_for_map, cfg.keyframe_capacity
     )
     slot = state.kf_next
     K = state.kf_xyz.shape[0]
-    kf_xyz = state.kf_xyz.at[slot].set(kf_cloud.xyz)
-    kf_int = state.kf_intensity.at[slot].set(kf_cloud.intensity)
-    kf_valid = state.kf_valid.at[slot].set(kf_cloud.valid)
-    kf_pose = state.kf_pose.at[slot].set(state.pose)
-    kf_used = state.kf_slot_used.at[slot].set(True)
+    return state._replace(
+        previous_position=se3.translation(state.pose),
+        latest_distance=state.latest_distance + state.trans,
+        kf_xyz=state.kf_xyz.at[slot].set(kf_cloud.xyz),
+        kf_intensity=state.kf_intensity.at[slot].set(kf_cloud.intensity),
+        kf_valid=state.kf_valid.at[slot].set(kf_cloud.valid),
+        kf_pose=state.kf_pose.at[slot].set(state.pose),
+        kf_slot_used=state.kf_slot_used.at[slot].set(True),
+        kf_next=(slot + 1) % K,
+        last_kf_dropped=kf_dropped,
+    )
 
-    # target window: every used slot, transformed to the map frame
-    world_xyz = jnp.einsum("kij,knj->kni", kf_pose[:, :3, :3], kf_xyz) + kf_pose[
-        :, None, :3, 3
-    ]
-    valid = kf_valid & kf_used[:, None]
+
+@partial(jax.jit, static_argnames=("cfg",))
+def build_target_from_ring(
+    cfg: FrontendConfig, state: FrontendState
+) -> FrontendState:
+    """Compile the registration target from the keyframe ring: every used
+    slot transformed to the map frame (reference updateMap :452-464)."""
+    world_xyz = jnp.einsum(
+        "kij,knj->kni", state.kf_pose[:, :3, :3], state.kf_xyz
+    ) + state.kf_pose[:, None, :3, 3]
+    valid = state.kf_valid & state.kf_slot_used[:, None]
     window = PointCloud(
         xyz=world_xyz.reshape(-1, 3),
-        intensity=kf_int.reshape(-1),
+        intensity=state.kf_intensity.reshape(-1),
         valid=valid.reshape(-1),
     )
     if cfg.registration_method == "NDT":
         target = reg.ndt_build_target(cfg.ndt, window)
     else:
         target = reg.gicp_build_target(cfg.gicp, window)
+    return state._replace(target=target)
 
-    return state._replace(
-        previous_position=se3.translation(state.pose),
-        latest_distance=state.latest_distance + state.trans,
-        kf_xyz=kf_xyz,
-        kf_intensity=kf_int,
-        kf_valid=kf_valid,
-        kf_pose=kf_pose,
-        kf_slot_used=kf_used,
-        kf_next=(slot + 1) % K,
-        target=target,
-        last_kf_dropped=kf_dropped,
-    )
+
+@partial(jax.jit, static_argnames=("cfg",))
+def keyframe_update(
+    cfg: FrontendConfig, state: FrontendState, filtered_raw: PointCloud
+) -> FrontendState:
+    """Insert a keyframe and rebuild the registration target
+    (reference updateMap, scanmatcher_component.cpp:438-491)."""
+    return build_target_from_ring(cfg, insert_keyframe(cfg, state, filtered_raw))
 
 
 # ---------------------------------------------------------------------------
@@ -267,6 +284,11 @@ class ScanMatcher:
             np.eye(4, dtype=np.float32) if initial_pose is None else initial_pose
         )
         self._initialized = False
+        # in-flight keyframe integration: (rebuilt state, stamp, pose at the
+        # keyframe scan) — the functional analogue of the reference's
+        # mapping_future_/is_map_updated_ pair (scanmatcher_component.h:102-106)
+        self._pending: Optional[tuple] = None
+        self._last_overflow: dict = {}
 
     # -- inputs -------------------------------------------------------------
     def set_initial_pose(self, pose: np.ndarray) -> None:
@@ -294,10 +316,17 @@ class ScanMatcher:
         raw = PointCloud.from_numpy(points, cfg.scan_capacity)
         imu_hist = self.imu.snapshot(ref_time=stamp)
 
-        if not self._initialized:
+        first_scan = not self._initialized
+        if first_scan:
             filtered_raw, _, _ = preprocess(cfg, raw, imu_hist)
             self._init_map(filtered_raw, stamp)
             self._initialized = True
+
+        # 0-second poll of the in-flight keyframe rebuild (reference
+        # receiveCloud :300-322): if the device finished it, swap targets now
+        # so THIS scan registers against the fresh window; otherwise keep
+        # registering against the old target
+        map_updated = self._poll_map_update(block=False)
 
         odom = (
             jnp.asarray(odom_pose, dtype=jnp.float32)
@@ -323,6 +352,8 @@ class ScanMatcher:
             "fitness": float(out.fitness),
             "trans": float(out.trans),
             "keyframe": False,
+            "map_updated": map_updated,
+            "first_scan": first_scan,
             "stamp": stamp,
             # overflow observability: every fixed-capacity truncation point,
             # surfaced so capacity mis-sizing is visible instead of silently
@@ -337,12 +368,53 @@ class ScanMatcher:
             },
         }
 
-        if bool(out.need_keyframe):
-            self.state = keyframe_update(cfg, self.state, filtered_raw)
-            self._append_submap(pose_np, stamp)
+        if bool(out.need_keyframe) and self._pending is None:
+            # dispatch the integration WITHOUT waiting (reference spawns the
+            # mapping thread here, :427-434, guarded by !mapping_flag_;
+            # while one is in flight, further keyframe triggers are skipped)
+            self._pending = (
+                keyframe_update(cfg, self.state, filtered_raw), stamp, pose_np, 0
+            )
             result["keyframe"] = True
-            result["overflow"].update(self._target_overflow())
+            if not cfg.async_map_update:
+                result["map_updated"] = self._poll_map_update(block=True)
+        if result["map_updated"]:
+            result["overflow"].update(self._last_overflow)
         return result
+
+    def _poll_map_update(self, block: bool) -> bool:
+        """Adopt the rebuilt state if ready (the reference's double-buffered
+        target swap, :303-318). Pose-trajectory fields keep their CURRENT
+        values — only the ring/target/travel bookkeeping comes from the
+        rebuild."""
+        if self._pending is None:
+            return False
+        pend, stamp, pose_np, waited = self._pending
+        if not block and not all(
+            x.is_ready() for x in jax.tree.leaves(pend.target)
+        ):
+            if waited < self.cfg.map_update_defer_scans:
+                self._pending = (pend, stamp, pose_np, waited + 1)
+                return False
+            # device order guarantees the rebuild finished before the result
+            # fetched on the previous scan; only the client readiness flag
+            # lags (remote-relay quirk) — so this wait is effectively zero
+            jax.block_until_ready(pend.target)
+        self.state = pend._replace(
+            pose=self.state.pose,
+            trans=self.state.trans,
+            prev_odom=self.state.prev_odom,
+            has_prev_odom=self.state.has_prev_odom,
+        )
+        self._pending = None
+        self._append_submap(pose_np, stamp)
+        self._last_overflow = self._target_overflow()
+        return True
+
+    def flush_map_update(self) -> bool:
+        """Block until any in-flight keyframe integration is adopted (call
+        before reading final maps/checkpoints)."""
+        return self._poll_map_update(block=True)
 
     def _target_overflow(self) -> dict:
         """Fetch the target-model overflow counters after a keyframe update
@@ -355,15 +427,18 @@ class ScanMatcher:
             tgt = self.state.target.dist
             n_dropped = tgt.n_dropped
             fat_dropped = tgt.n_fat_dropped
-        kf_d, tgt_d, hash_u, fat_d = jax.device_get(
+        kf_d, tgt_d, hash_u, fat_d, fat_u = jax.device_get(
             (self.state.last_kf_dropped, n_dropped, tgt.table.n_unplaced,
-             fat_dropped)
+             fat_dropped, tgt.fat_table.n_unplaced)
         )
         return {
             "keyframe_voxels_dropped": int(kf_d),
             "target_voxels_dropped": int(tgt_d),
             "hash_slots_unplaced": int(hash_u),
             "dilated_voxels_dropped": int(fat_d),
+            # dilated cells that failed bucket placement: absent from the
+            # hot-path index => silently lost correspondences if nonzero
+            "fat_slots_unplaced": int(fat_u),
         }
 
     # -- internals ------------------------------------------------------------
@@ -439,12 +514,15 @@ class ScanMatcher:
         self._initial_pose = last.pose
         state = self._empty_state()
         K = cfg.num_targeted_cloud
+        # ring inserts only; ONE target build of the final window at the end
+        # (building after every insert would cost K full target compiles)
         for s in map_array.submaps[-K:]:
             cloud = PointCloud.from_numpy(s.cloud, cfg.keyframe_capacity)
             state = state._replace(
                 pose=jnp.asarray(s.pose), trans=jnp.float32(0.0)
             )
-            state = keyframe_update(cfg, state, cloud)
+            state = insert_keyframe(cfg, state, cloud)
+        state = build_target_from_ring(cfg, state)
         self.state = state._replace(
             latest_distance=jnp.float32(last.distance),
             previous_position=jnp.asarray(last.pose[:3, 3]),

@@ -17,8 +17,10 @@ Cost per correspondence (Segal's plane-to-plane metric):
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from ..core import se3
@@ -137,6 +139,7 @@ def build_gicp_target(
     )
 
 
+@partial(jax.jit, static_argnums=(1, 2, 3, 4))
 def source_covariances(
     cloud: PointCloud,
     resolution: float,
@@ -145,7 +148,11 @@ def source_covariances(
     plane_epsilon: float = 1e-3,
 ) -> jnp.ndarray:
     """Per-source-point plane covariance from the point's own voxel
-    neighborhood; identity fallback for sparse voxels. f32[N,3,3]."""
+    neighborhood; identity fallback for sparse voxels. f32[N,3,3].
+
+    jitted at top level: host callers (Registration.set_input_source, the
+    bench) would otherwise run it op-by-op — ~2k dispatches through a
+    remote-TPU relay is ~1000x slower than the compiled program."""
     stats = voxel_stats(
         cloud, resolution, voxel_capacity, min_points=min_points, min_eig_ratio=1e-3
     )

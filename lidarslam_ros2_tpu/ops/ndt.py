@@ -457,7 +457,15 @@ def ndt_score_terms(
     einsums) lower to batched 3x3 dot_generals that strand the MXU at <1%
     utilization — the channel form stays on the VPU at full lane width.
     """
-    if offsets.shape[0] != DIRECT7_OFFSETS.shape[0]:
+    # the fat path hard-codes the DIRECT7 neighborhood (its row payload was
+    # built from exactly those offsets) — any OTHER offset set, even a
+    # 7-row one, must take the generic thin path
+    if offsets is not DIRECT7_OFFSETS and not (
+        offsets.shape == DIRECT7_OFFSETS.shape
+        and isinstance(offsets, jnp.ndarray)
+        and not isinstance(offsets, jax.core.Tracer)
+        and bool(jnp.all(offsets == DIRECT7_OFFSETS))
+    ):
         return ndt_score_terms_thin(target, xyz, valid, T, offsets)
 
     K = DIRECT7_OFFSETS.shape[0]

@@ -163,9 +163,13 @@ class MultiStreamSlam:
             )
         return states
 
-    def step(self, scans: np.ndarray, imus: Optional[ImuHistory] = None):
-        """scans: (n_streams, P, 3|4) float array (pre-padded host batch)."""
-        raws = PointCloud(
+    def stage(self, scans: np.ndarray) -> PointCloud:
+        """Convert one (n_streams, P, 3|4) host batch to a device-resident
+        ``PointCloud``. Split from :meth:`step` so callers can upload frames
+        ahead of time (or keep a whole sequence device-resident) — the
+        ~5 MB/step H2D of raw scans dominates wall time on a remote-relay
+        TPU and can be fully overlapped with compute in a real pipeline."""
+        return PointCloud(
             xyz=jnp.asarray(scans[..., :3], dtype=jnp.float32),
             intensity=(
                 jnp.asarray(scans[..., 3], dtype=jnp.float32)
@@ -175,6 +179,11 @@ class MultiStreamSlam:
             valid=jnp.any(jnp.isfinite(scans[..., :3]), axis=-1)
             & (jnp.abs(jnp.asarray(scans[..., 0])) < 1e7),
         )
+
+    def step(self, scans, imus: Optional[ImuHistory] = None):
+        """scans: (n_streams, P, 3|4) host array, or an already-staged
+        ``PointCloud`` from :meth:`stage`."""
+        raws = scans if isinstance(scans, PointCloud) else self.stage(scans)
         if imus is None:
             imus = _empty_imu_batch(self.n)
         self.states, outs, stats = self._step(self.states, raws, imus)

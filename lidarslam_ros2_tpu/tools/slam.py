@@ -136,6 +136,9 @@ def main(argv=None) -> int:
             def set_static_transform(self, parent, child, T):
                 self.scan_matcher.tf_buffer.set_static(parent, child, T)
 
+            def finish(self):
+                self.scan_matcher.flush()
+
             def map_save(self):
                 return False
 

@@ -10,8 +10,16 @@ surfaces. Returns host numpy arrays; callers pad them into PointCloud.
 from __future__ import annotations
 
 import dataclasses
+import hashlib
+import os
 
 import numpy as np
+
+# bump when the simulator's math changes — invalidates the on-disk scan cache
+_SIM_VERSION = "v3-f32"
+_CACHE_DIR = os.environ.get(
+    "LIDARSLAM_SCAN_CACHE", "/tmp/lidarslam_scan_cache"
+)
 
 
 @dataclasses.dataclass
@@ -45,9 +53,9 @@ class World:
         heights = rng.uniform(2.0, 12.0, size=(self.n_boxes,))
         # keep a clear corridor near the origin so trajectories stay collision-free
         keep = np.linalg.norm(centers, axis=1) > 8.0
-        self.centers = centers[keep]
-        self.sizes = sizes[keep]
-        self.heights = heights[keep]
+        self.centers = centers[keep].astype(np.float32)
+        self.sizes = sizes[keep].astype(np.float32)
+        self.heights = heights[keep].astype(np.float32)
 
     def ground_height(self, xy: np.ndarray) -> np.ndarray:
         """Gently undulating terrain. A perfectly planar floor is degenerate
@@ -62,17 +70,26 @@ class World:
         )
 
     def sdf(self, p: np.ndarray) -> np.ndarray:
-        """Signed distance to the world surface for points p (N, 3)."""
+        """Signed distance to the world surface for points p (N, 3).
+
+        Vectorized over boxes (one (N, B, 3) broadcast instead of a Python
+        loop) — value-identical to the per-box formulation (min is exact),
+        ~B times fewer numpy passes. This is the bench/test fixture
+        generator's hot loop; the loop form made one VLP-32 scan take
+        minutes on the single host core (round-2 bench timeout root cause).
+        """
         # conservative (0.7x) distance bound for the heightfield ground
-        d_ground = 0.7 * (p[:, 2] - self.ground_height(p[:, :2]))
-        d = d_ground
-        for c, s, h in zip(self.centers, self.sizes, self.heights):
-            q = np.abs(p[:, :2] - c) - s / 2
-            qz = np.abs(p[:, 2] - h / 2) - h / 2
-            q3 = np.stack([q[:, 0], q[:, 1], qz], axis=1)
-            outside = np.linalg.norm(np.maximum(q3, 0.0), axis=1)
-            inside = np.minimum(np.max(q3, axis=1), 0.0)
-            d = np.minimum(d, outside + inside)
+        d = 0.7 * (p[:, 2] - self.ground_height(p[:, :2]))
+        if len(self.centers):
+            q = np.abs(p[:, None, :2] - self.centers[None]) - self.sizes[None] / 2
+            qz = (
+                np.abs(p[:, 2, None] - self.heights[None] / 2)
+                - self.heights[None] / 2
+            )
+            q3 = np.concatenate([q, qz[:, :, None]], axis=2)  # (N, B, 3)
+            outside = np.linalg.norm(np.maximum(q3, 0.0), axis=2)
+            inside = np.minimum(q3.max(axis=2), 0.0)
+            d = np.minimum(d, (outside + inside).min(axis=1))
         return d
 
 
@@ -86,7 +103,47 @@ def simulate_scan(
 ) -> np.ndarray:
     """Ray-march one scan from a 4x4 sensor pose. Returns (M, 4) xyz+intensity
     in the SENSOR frame, azimuth-ordered (column-major ring-fastest) so the
-    deskew azimuth-to-time mapping behaves like a real spinning unit."""
+    deskew azimuth-to-time mapping behaves like a real spinning unit.
+
+    Results are cached to ``LIDARSLAM_SCAN_CACHE`` (default
+    /tmp/lidarslam_scan_cache) keyed by every input that determines the
+    output — the march is the single-core host bottleneck of the bench/test
+    fixtures (round-2 driver bench timed out generating them)."""
+    key = hashlib.sha1(
+        repr((
+            _SIM_VERSION,
+            world.extent, world.n_boxes, world.seed,
+            dataclasses.astuple(lidar),
+            float(noise), int(seed), int(n_steps),
+            np.asarray(pose, dtype=np.float64).tobytes(),
+        )).encode()
+    ).hexdigest()
+    cache_path = os.path.join(_CACHE_DIR, f"scan_{key}.npy")
+    if os.path.exists(cache_path):
+        try:
+            return np.load(cache_path)
+        except Exception:
+            pass  # corrupt/partial file: regenerate
+    out = _simulate_scan_uncached(world, pose, lidar, noise, seed, n_steps)
+    try:
+        os.makedirs(_CACHE_DIR, exist_ok=True)
+        tmp = cache_path + f".tmp{os.getpid()}.npy"  # np.save appends .npy
+        with open(tmp, "wb") as f:
+            np.save(f, out)
+        os.replace(tmp, cache_path)
+    except OSError:
+        pass  # read-only /tmp: caching is best-effort
+    return out
+
+
+def _simulate_scan_uncached(
+    world: World,
+    pose: np.ndarray,
+    lidar: LidarModel,
+    noise: float,
+    seed: int,
+    n_steps: int,
+) -> np.ndarray:
     rng = np.random.default_rng(seed)
     elev = np.deg2rad(
         np.linspace(lidar.vfov_lo_deg, lidar.vfov_hi_deg, lidar.n_rings)
@@ -101,26 +158,32 @@ def simulate_scan(
     E, A = np.meshgrid(elev, azi)  # (n_azimuth, n_rings): azimuth-major order
     dirs = np.stack(
         [np.cos(E) * np.cos(A), np.cos(E) * np.sin(A), np.sin(E)], axis=-1
-    ).reshape(-1, 3)
+    ).reshape(-1, 3).astype(np.float32)
 
-    R, t = pose[:3, :3], pose[:3, 3]
+    R = np.asarray(pose[:3, :3], dtype=np.float32)
+    t = np.asarray(pose[:3, 3], dtype=np.float32)
     dirs_w = dirs @ R.T
     origin = t[None, :]
 
-    # sphere-traced march
-    dist = np.full(dirs_w.shape[0], 0.5)
-    alive = np.ones(dirs_w.shape[0], dtype=bool)
+    # sphere-traced march over only the still-alive rays (value-identical to
+    # marching the full array: dead rays never change; most rays hit the
+    # ground within a few steps, so the working set collapses quickly)
+    n = dirs_w.shape[0]
+    dist = np.full(n, 0.5, dtype=np.float32)
+    alive_idx = np.arange(n)
     for _ in range(n_steps):
-        p = origin + dirs_w * dist[:, None]
+        p = origin + dirs_w[alive_idx] * dist[alive_idx, None]
         sd = world.sdf(p)
-        hit = sd < 1e-3
-        dist = np.where(alive & ~hit, dist + np.maximum(sd, 1e-3), dist)
-        alive &= ~hit
-        alive &= dist < lidar.max_range
-        if not alive.any():
+        not_hit = sd >= 1e-3
+        adv = alive_idx[not_hit]
+        dist[adv] += np.maximum(sd[not_hit], np.float32(1e-3))
+        alive_idx = adv[dist[adv] < lidar.max_range]
+        if alive_idx.size == 0:
             break
+    alive = np.zeros(n, dtype=bool)
+    alive[alive_idx] = True
     hit_mask = ~alive & (dist < lidar.max_range)
-    dist = dist + rng.normal(0.0, noise, size=dist.shape)
+    dist = dist + rng.normal(0.0, noise, size=dist.shape).astype(np.float32)
     pts_world = origin + dirs_w * dist[:, None]
     pts_sensor = (pts_world - t) @ R
     inten = np.clip(1.0 / np.maximum(dist, 1.0), 0.0, 1.0).astype(np.float32)
