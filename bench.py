@@ -279,6 +279,7 @@ def _bench_full_slam():
         wall = time.perf_counter() - t_begin
         app.finish()
         loops = len(app.graph_based_slam.engine.loop_edges)
+        stage_timing = app.scan_matcher.engine.timer.summary()
     finally:
         app.close()
     lat = np.asarray(lat[2:])  # drop compile scans
@@ -291,6 +292,7 @@ def _bench_full_slam():
         "realtime_factor": round((len(lat) * period) / max(1e-9, wall), 2),
         "pacing_hz": 10,
         "backend": "async_worker_thread",
+        "stage_timing": stage_timing,
     }
 
 

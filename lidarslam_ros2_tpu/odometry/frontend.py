@@ -36,6 +36,7 @@ from ..ops.deskew import ImuHistory, deskew
 from ..ops.filters import min_max_range_filter
 from ..ops.voxelize import voxel_downsample_counted
 from ..utils.imu import ImuIntegrator
+from ..utils.timing import StageTimer, trace
 
 
 @dataclasses.dataclass(frozen=True)
@@ -289,6 +290,10 @@ class ScanMatcher:
         # mapping_future_/is_map_updated_ pair (scanmatcher_component.h:102-106)
         self._pending: Optional[tuple] = None
         self._last_overflow: dict = {}
+        # per-stage wall-clock stats (the reference only ad-hoc times align()
+        # under debug_flag, scanmatcher_component.cpp:351-354); read via
+        # ``timer.summary()`` — tools/slam.py surfaces it in summary.json
+        self.timer = StageTimer()
 
     # -- inputs -------------------------------------------------------------
     def set_initial_pose(self, pose: np.ndarray) -> None:
@@ -313,8 +318,9 @@ class ScanMatcher:
         Returns a dict mirroring the reference's per-scan outputs.
         """
         cfg = self.cfg
-        raw = PointCloud.from_numpy(points, cfg.scan_capacity)
-        imu_hist = self.imu.snapshot(ref_time=stamp)
+        with self.timer.stage("h2d_upload"):
+            raw = PointCloud.from_numpy(points, cfg.scan_capacity)
+            imu_hist = self.imu.snapshot(ref_time=stamp)
 
         first_scan = not self._initialized
         if first_scan:
@@ -326,7 +332,8 @@ class ScanMatcher:
         # receiveCloud :300-322): if the device finished it, swap targets now
         # so THIS scan registers against the fresh window; otherwise keep
         # registering against the old target
-        map_updated = self._poll_map_update(block=False)
+        with self.timer.stage("map_update_adopt"):
+            map_updated = self._poll_map_update(block=False)
 
         odom = (
             jnp.asarray(odom_pose, dtype=jnp.float32)
@@ -334,14 +341,17 @@ class ScanMatcher:
             else jnp.eye(4, dtype=jnp.float32)
         )
         has_odom = jnp.asarray(odom_pose is not None)
-        filtered_raw, self.state, out = frontend_step(
-            cfg, self.state, raw, imu_hist, odom, has_odom
-        )
+        with self.timer.stage("register_dispatch"), trace("frontend_step"):
+            filtered_raw, self.state, out = frontend_step(
+                cfg, self.state, raw, imu_hist, odom, has_odom
+            )
 
         # ONE batched device->host transfer for all per-scan outputs — each
         # individual float()/bool() fetch is a full round-trip (expensive on
-        # remote-attached TPUs)
-        out = jax.device_get(out)
+        # remote-attached TPUs). The wait here is the device finishing
+        # register (+ any still-running keyframe rebuild queued ahead of it).
+        with self.timer.stage("register_fetch"):
+            out = jax.device_get(out)
         pose_np = np.asarray(out.pose)
         self.path.append(pose_np)
         result = {
@@ -372,9 +382,11 @@ class ScanMatcher:
             # dispatch the integration WITHOUT waiting (reference spawns the
             # mapping thread here, :427-434, guarded by !mapping_flag_;
             # while one is in flight, further keyframe triggers are skipped)
-            self._pending = (
-                keyframe_update(cfg, self.state, filtered_raw), stamp, pose_np, 0
-            )
+            with self.timer.stage("keyframe_dispatch"), trace("keyframe_update"):
+                self._pending = (
+                    keyframe_update(cfg, self.state, filtered_raw),
+                    stamp, pose_np, 0,
+                )
             result["keyframe"] = True
             if not cfg.async_map_update:
                 result["map_updated"] = self._poll_map_update(block=True)

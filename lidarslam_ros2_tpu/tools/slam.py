@@ -78,6 +78,22 @@ def main(argv=None) -> int:
         "default worker thread (deterministic, but a loop closure stalls "
         "scan processing — the reference overlaps via a timer thread)",
     )
+    ap.add_argument(
+        "--live-every",
+        type=int,
+        default=0,
+        metavar="N",
+        help="every N keyframes, write a live map PNG + metrics snapshot to "
+        "OUTPUT/live/ (the during-run observability the reference gets from "
+        "rviz topics, lidarslam/rviz/mapping.rviz)",
+    )
+    ap.add_argument(
+        "--debug",
+        action="store_true",
+        help="print the per-stage timing table at the end (the reference's "
+        "debug_flag align() wall clock, scanmatcher_component.cpp:351-354, "
+        "but for every pipeline stage)",
+    )
     args = ap.parse_args(argv)
 
     from ..api.config import load_yaml
@@ -163,9 +179,27 @@ def main(argv=None) -> int:
         app.set_static_transform(node_kw.get("robot_frame_id", "base_link"),
                                  "sensor", T)
 
+    def _live_dump(engine, k: int) -> None:
+        """During-run observability (reference: live rviz on /map + /path)."""
+        from .visualize import render_map
+
+        live_dir = os.path.join(args.output, "live")
+        os.makedirs(live_dir, exist_ok=True)
+        render_map(engine.global_map(), engine.get_path(),
+                   out_png=os.path.join(live_dir, f"map_{k:05d}.png"))
+        with open(os.path.join(live_dir, "metrics.json"), "w") as f:
+            json.dump({
+                "submaps": len(engine.map_array),
+                "trajectory_scans": len(engine.path),
+                "distance_m": float(engine.map_array.submaps[-1].distance)
+                if len(engine.map_array) else 0.0,
+                "stage_timing": engine.timer.summary(),
+            }, f, indent=2)
+
     stream = _iter_bag(args) if args.bag else _iter_pcd_dir(args)
     n_scans = 0
     scan_latency = []  # per-scan wall time incl. any inline backend work
+    last_live = 0
     t0 = time.perf_counter()
     for kind, ts, payload, frame in stream:
         if kind == "imu":
@@ -177,6 +211,11 @@ def main(argv=None) -> int:
             app.add_scan(payload, ts, frame_id=None)
             scan_latency.append(time.perf_counter() - t_scan)
             n_scans += 1
+            if args.live_every > 0:
+                n_kf = len(app.scan_matcher.engine.map_array)
+                if n_kf >= last_live + args.live_every:
+                    last_live = n_kf
+                    _live_dump(app.scan_matcher.engine, n_kf)
             if args.max_scans and n_scans >= args.max_scans:
                 break
     wall = time.perf_counter() - t0
@@ -208,9 +247,13 @@ def main(argv=None) -> int:
         "trajectory_length_m": float(
             np.sum(np.linalg.norm(np.diff(path[:, :3, 3], axis=0), axis=1))
         ) if len(path) > 1 else 0.0,
+        # per-stage wall-clock breakdown (frontend engine StageTimer)
+        "stage_timing": app.scan_matcher.engine.timer.summary(),
     }
     with open(os.path.join(args.output, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
+    if args.debug:
+        print(app.scan_matcher.engine.timer.report())
     if args.checkpoint:
         from ..io.checkpoint import save_checkpoint
 

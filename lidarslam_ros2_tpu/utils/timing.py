@@ -19,12 +19,17 @@ import jax
 
 
 class StageTimer:
-    """Accumulates wall-clock stats per named stage."""
+    """Accumulates wall-clock stats (incl. p50/p99) per named stage.
 
-    def __init__(self) -> None:
-        self.totals: Dict[str, float] = defaultdict(float)
+    Samples are kept per stage (bounded by ``max_samples``, oldest dropped)
+    so percentiles reflect the tail the pipeline actually produced — a
+    keyframe-scan stall shows up in ``p99`` even when the mean looks fine.
+    """
+
+    def __init__(self, max_samples: int = 100_000) -> None:
+        self.samples: Dict[str, list] = defaultdict(list)
         self.counts: Dict[str, int] = defaultdict(int)
-        self.maxes: Dict[str, float] = defaultdict(float)
+        self.max_samples = max_samples
 
     @contextlib.contextmanager
     def stage(self, name: str, block_on=None):
@@ -35,28 +40,36 @@ class StageTimer:
             if block_on is not None:
                 jax.block_until_ready(block_on)
             dt = time.perf_counter() - t0
-            self.totals[name] += dt
+            buf = self.samples[name]
+            buf.append(dt)
+            if len(buf) > self.max_samples:
+                del buf[: len(buf) - self.max_samples]
             self.counts[name] += 1
-            self.maxes[name] = max(self.maxes[name], dt)
 
     def summary(self) -> Dict[str, Dict[str, float]]:
-        return {
-            name: {
-                "total_s": round(self.totals[name], 6),
+        import numpy as np
+
+        out = {}
+        for name in sorted(self.samples):
+            s = np.asarray(self.samples[name])
+            if s.size == 0:
+                continue
+            out[name] = {
                 "count": self.counts[name],
-                "mean_ms": round(1000.0 * self.totals[name] / max(self.counts[name], 1), 3),
-                "max_ms": round(1000.0 * self.maxes[name], 3),
+                "total_s": round(float(s.sum()), 6),
+                "mean_ms": round(1000.0 * float(s.mean()), 3),
+                "p50_ms": round(1000.0 * float(np.percentile(s, 50)), 3),
+                "p99_ms": round(1000.0 * float(np.percentile(s, 99)), 3),
+                "max_ms": round(1000.0 * float(s.max()), 3),
             }
-            for name in sorted(self.totals)
-        }
+        return out
 
     def report(self) -> str:
         return json.dumps(self.summary(), indent=2)
 
     def reset(self) -> None:
-        self.totals.clear()
+        self.samples.clear()
         self.counts.clear()
-        self.maxes.clear()
 
 
 @contextlib.contextmanager

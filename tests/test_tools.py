@@ -61,6 +61,7 @@ def test_frontend_only_and_checkpoint(tmp_path):
     rc = main([
         "--pcd-dir", str(scans), "--params", _params(tmp_path),
         "--output", str(out), "--frontend-only", "--checkpoint", ckpt,
+        "--live-every", "2", "--debug",
     ])
     assert rc == 0
     summary = json.loads((out / "summary.json").read_text())
@@ -70,6 +71,16 @@ def test_frontend_only_and_checkpoint(tmp_path):
     path = np.load(out / "path.npy")
     assert np.allclose(path[-1][:3, 3], gt[-1][:3, 3], atol=0.15)
     assert os.path.exists(ckpt)
+    # per-stage timing is wired through the engine into summary.json
+    st = summary["stage_timing"]
+    assert st["register_dispatch"]["count"] == len(gt)
+    assert st["register_fetch"]["p99_ms"] >= st["register_fetch"]["p50_ms"]
+    assert st["keyframe_dispatch"]["count"] == summary["submaps"] - 1
+    # during-run observability artifacts (live rviz stand-in)
+    live = sorted((out / "live").glob("map_*.png"))
+    assert len(live) >= 1
+    metrics = json.loads((out / "live" / "metrics.json").read_text())
+    assert metrics["submaps"] >= 2 and "stage_timing" in metrics
 
 
 def test_standalone_backend_over_checkpoint(tmp_path):
