@@ -296,6 +296,59 @@ def _bench_full_slam():
     }
 
 
+def _bench_ate_parity():
+    """BASELINE.md "hdl_400 ATE parity with CPU ndt_omp" stand-in: replay
+    the same synthetic course through the JAX frontend and the native CPU
+    NDT odometry loop (utils/cpu_slam.py) with identical parameters; report
+    both ATEs and their ratio."""
+    import numpy as np
+
+    from lidarslam_ros2_tpu.models.registration import NDTConfig
+    from lidarslam_ros2_tpu.odometry.frontend import FrontendConfig, ScanMatcher
+    from lidarslam_ros2_tpu.utils import cpu_slam
+    from lidarslam_ros2_tpu.utils.synthetic import (
+        VLP16, World, circle_trajectory, simulate_scan,
+    )
+
+    if not cpu_slam.available():
+        return {"skipped": "native ndt_cpu unavailable"}
+    N = 34  # 1/3 of the full_slam course: 8.5 m travel, 127 deg rotation
+    world = World(seed=7)
+    gt = circle_trajectory(97, radius=4.0)[:N]
+    scans = [
+        simulate_scan(world, gt[k], VLP16, noise=0.01, seed=100 + k)
+        for k in range(N)
+    ]
+    fcfg = FrontendConfig(
+        ndt=NDTConfig(resolution=2.0, coarse_resolutions=(4.0,),
+                      voxel_capacity=16384, max_iterations=30,
+                      compute_fitness=False),
+        trans_for_mapupdate=1.0, vg_size_for_input=0.2, vg_size_for_map=0.1,
+        num_targeted_cloud=10, scan_capacity=32768, input_capacity=16384,
+        keyframe_capacity=16384,
+    )
+    sm = ScanMatcher(fcfg, initial_pose=gt[0])
+    for k, s in enumerate(scans):
+        sm.process_scan(s, stamp=0.1 * k)
+    sm.flush_map_update()
+    cpu = cpu_slam.CpuOdometry(
+        resolution=2.0, coarse_resolutions=(4.0,), trans_for_mapupdate=1.0,
+        vg_size_for_input=0.2, vg_size_for_map=0.1, num_targeted_cloud=10,
+        max_iterations=30, initial_pose=gt[0],
+    )
+    for s in scans:
+        cpu.process_scan(s)
+    gt_arr = np.stack(gt)
+    ate_tpu = cpu_slam.ate_rmse(sm.get_path(), gt_arr)
+    ate_cpu = cpu_slam.ate_rmse(cpu.get_path(), gt_arr)
+    return {
+        "scans": N,
+        "ate_tpu_m": round(ate_tpu, 4),
+        "ate_cpu_m": round(ate_cpu, 4),
+        "ate_ratio_tpu_over_cpu": round(ate_tpu / max(ate_cpu, 1e-9), 3),
+    }
+
+
 def _bench_multistream():
     """BASELINE config 5: 8 concurrent odometry streams vmapped as ONE XLA
     program on one chip. The single-stream frontend is gather/index-bound
@@ -453,6 +506,7 @@ def main():
             ("cpu_ndt_baseline", lambda: _bench_cpu_ndt(
                 window, source, np.asarray(guess), ms_per_iter)),
             ("full_slam", _bench_full_slam),
+            ("ate_parity", _bench_ate_parity),
             ("gicp", lambda: _bench_gicp(window, source, guess)),
             ("multistream", _bench_multistream),
         ):

@@ -241,8 +241,12 @@ def ndt_align(
     xyz, valid = source.xyz, source.valid
 
     # pyramid: coarse-to-fine — each coarser level's result seeds the next.
-    # The coarse passes only need to land INSIDE the fine basin, so they run
-    # few iterations with a resolution-scaled epsilon.
+    # The epsilon is NOT scaled up with the level resolution: the coarse
+    # score surface is smooth enough that LM creeps in ~0.02-unit steps, so
+    # a 2x-scaled epsilon declares convergence after ONE step ~3 deg short
+    # of the coarse optimum — outside the fine level's basin. That was the
+    # mechanism of a persistent ~3.2 deg rotation lag on sustained-rotation
+    # courses (an 18x ATE regression vs the CPU reference loop).
     T = guess
     for lvl, tgt in zip(cfg.coarse_resolutions, target.coarse):
 
@@ -252,7 +256,7 @@ def ndt_align(
         T, _, _, _, _ = _lm_loop(
             eval_coarse,
             T,
-            cfg.transformation_epsilon * lvl / cfg.resolution,
+            cfg.transformation_epsilon,
             cfg.coarse_max_iterations,
             cfg.lambda_init,
             cfg.lambda_up,

@@ -1,0 +1,150 @@
+"""Host-CPU NDT odometry loop — the measurement stand-in for the reference
+frontend running on a CPU.
+
+Mirrors the reference's receiveCloud/updateMap cycle
+(scanmatcher_component.cpp:296-491): voxel-downsample the scan, align it to
+a keyframe-window target with the previous pose as seed, insert a
+distance-gated keyframe, rebuild the target from the last
+``num_targeted_cloud`` keyframes. Registration is the native OpenMP DIRECT7
+Magnusson NDT (native/ndt_cpu.cpp via :mod:`cpu_baseline`), i.e. the same
+engine class the reference configures (pclomp::NormalDistributionsTransform,
+scanmatcher_component.cpp:103-113).
+
+Never on the SLAM path: exists to produce the CPU trajectory for the
+BASELINE.md "hdl_400 ATE parity with CPU ndt_omp" contract while no public
+bag exists in the image — both stacks replay the same synthetic course and
+their ATEs are compared (bench.py ``ate_parity`` section,
+tests/test_ate_parity.py).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+
+from . import cpu_baseline
+
+
+def voxel_downsample_np(points: np.ndarray, leaf: float) -> np.ndarray:
+    """Exact centroid-per-occupied-voxel downsample (pcl::VoxelGrid
+    semantics, scanmatcher_component.cpp:324-328). Host numpy."""
+    pts = points[:, :3].astype(np.float64)
+    coords = np.floor(pts / leaf).astype(np.int64)
+    # lexicographic unique → centroid per voxel
+    order = np.lexsort((coords[:, 2], coords[:, 1], coords[:, 0]))
+    coords, pts = coords[order], pts[order]
+    boundary = np.any(np.diff(coords, axis=0) != 0, axis=1)
+    starts = np.concatenate([[0], np.nonzero(boundary)[0] + 1])
+    ends = np.concatenate([starts[1:], [len(pts)]])
+    sums = np.add.reduceat(pts, starts, axis=0)
+    counts = (ends - starts)[:, None]
+    return (sums / counts).astype(np.float32)
+
+
+def available() -> bool:
+    return cpu_baseline.available()
+
+
+class CpuOdometry:
+    """Frontend odometry on the host CPU (same keyframe logic as
+    odometry/frontend.py, same NDT math as ops/ndt.py — but sequential
+    C++/OpenMP like the reference's engine)."""
+
+    def __init__(
+        self,
+        resolution: float = 2.0,
+        coarse_resolutions: Sequence[float] = (),
+        trans_for_mapupdate: float = 1.0,
+        vg_size_for_input: float = 0.2,
+        vg_size_for_map: float = 0.1,
+        num_targeted_cloud: int = 10,
+        max_iterations: int = 30,
+        coarse_max_iterations: int = 10,
+        transformation_epsilon: float = 0.01,
+        n_threads: int = 1,
+        initial_pose: Optional[np.ndarray] = None,
+    ):
+        if not cpu_baseline.available():
+            raise RuntimeError("native ndt_cpu library unavailable")
+        self.resolution = float(resolution)
+        self.coarse_resolutions = tuple(float(r) for r in coarse_resolutions)
+        self.trans_for_mapupdate = trans_for_mapupdate
+        self.vg_size_for_input = vg_size_for_input
+        self.vg_size_for_map = vg_size_for_map
+        self.num_targeted_cloud = num_targeted_cloud
+        self.max_iterations = max_iterations
+        self.coarse_max_iterations = coarse_max_iterations
+        self.transformation_epsilon = transformation_epsilon
+        self.n_threads = n_threads
+
+        self.pose = (
+            np.eye(4, dtype=np.float64)
+            if initial_pose is None
+            else np.asarray(initial_pose, dtype=np.float64)
+        )
+        self.path: list[np.ndarray] = []
+        self._keyframes: list[tuple[np.ndarray, np.ndarray]] = []  # (pose, local cloud)
+        self._previous_position = self.pose[:3, 3].copy()
+        self._targets: Optional[dict] = None
+        self._initialized = False
+
+    # -- internals ----------------------------------------------------------
+    def _insert_keyframe(self, filtered: np.ndarray) -> None:
+        """Reference updateMap (:438-491): LOCAL-frame keyframe cloud at
+        vg_size_for_map; target = last K keyframes in the map frame."""
+        local = voxel_downsample_np(filtered, self.vg_size_for_map)
+        self._keyframes.append((self.pose.copy(), local))
+        self._keyframes = self._keyframes[-self.num_targeted_cloud:]
+        world = np.concatenate(
+            [
+                (cloud @ pose[:3, :3].astype(np.float32).T)
+                + pose[:3, 3].astype(np.float32)
+                for pose, cloud in self._keyframes
+            ]
+        )
+        self._targets = {
+            res: cpu_baseline.NdtCpu(world, res)
+            for res in (*self.coarse_resolutions, self.resolution)
+        }
+        self._previous_position = self.pose[:3, 3].copy()
+
+    # -- API ----------------------------------------------------------------
+    def process_scan(self, points: np.ndarray) -> np.ndarray:
+        """One scan -> pose (f64[4,4]). Previous-pose seeding, coarse-to-fine
+        pyramid (matching models/registration.py ndt_align)."""
+        filtered = points[:, :3].astype(np.float32)
+        if not self._initialized:
+            self._insert_keyframe(filtered)
+            self._initialized = True
+            self.path.append(self.pose.copy())
+            return self.pose
+
+        src = voxel_downsample_np(filtered, self.vg_size_for_input)
+        guess = self.pose
+        for res in self.coarse_resolutions:
+            guess, _, _ = self._targets[res].align(
+                src, guess, self.coarse_max_iterations,
+                self.transformation_epsilon, self.n_threads,
+            )
+        pose, _, _ = self._targets[self.resolution].align(
+            src, guess, self.max_iterations, self.transformation_epsilon,
+            self.n_threads,
+        )
+        self.pose = pose
+        self.path.append(pose.copy())
+        trans = np.linalg.norm(pose[:3, 3] - self._previous_position)
+        if trans >= self.trans_for_mapupdate:
+            self._insert_keyframe(filtered)
+        return pose
+
+    def get_path(self) -> np.ndarray:
+        return np.stack(self.path) if self.path else np.zeros((0, 4, 4))
+
+
+def ate_rmse(path: np.ndarray, gt: np.ndarray) -> float:
+    """Absolute trajectory error RMSE over positions (both trajectories
+    share the same initial pose — no alignment step needed)."""
+    p = path[:, :3, 3] if path.ndim == 3 else path
+    g = gt[: len(p), :3, 3] if gt.ndim == 3 else gt[: len(p)]
+    return float(np.sqrt(np.mean(np.sum((p - g) ** 2, axis=1))))
