@@ -102,6 +102,7 @@ class LidarSlam:
         self.graph_based_slam.join()
 
     def close(self) -> None:
+        self.scan_matcher.engine.close()
         self.graph_based_slam.close()
 
     def map_save(self) -> bool:

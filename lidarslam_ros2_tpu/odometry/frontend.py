@@ -20,6 +20,7 @@ without blocking the host, and the hand-off is by value, not by mutation.
 from __future__ import annotations
 
 import dataclasses
+from concurrent.futures import ThreadPoolExecutor
 from functools import partial
 from typing import Any, NamedTuple, Optional, Tuple
 
@@ -63,16 +64,12 @@ class FrontendConfig:
     use_odom: bool = False
     # async keyframe integration (the reference's mapping-thread double
     # buffer, scanmatcher_component.cpp:300-322 + :427-434): the target
-    # rebuild is dispatched without blocking and adopted on a later scan once
-    # the device has finished it; meanwhile scans register against the old
-    # target. False = rebuild synchronously on the keyframe scan.
+    # rebuild is dispatched without blocking; a mapping worker thread waits
+    # for device completion and prefetches the host-side submap data, and the
+    # scan path adopts the new target with a zero-cost Future.done() poll —
+    # meanwhile scans register against the old target. False = rebuild
+    # synchronously on the keyframe scan.
     async_map_update: bool = True
-    # after this many polls, adopt with a (bounded) wait instead of relying on
-    # Array.is_ready — on remote-relay TPUs the client-side readiness flag can
-    # lag long after the device finished (single-stream device order means the
-    # rebuild completed before the previous scan's fetched result, so the wait
-    # is ~zero)
-    map_update_defer_scans: int = 1
     # --- capacities (static shapes) ---
     scan_capacity: int = 65536  # raw points per scan
     input_capacity: int = 16384  # after vg_size_for_input downsample
@@ -286,9 +283,16 @@ class ScanMatcher:
         )
         self._initialized = False
         # in-flight keyframe integration: (rebuilt state, stamp, pose at the
-        # keyframe scan) — the functional analogue of the reference's
-        # mapping_future_/is_map_updated_ pair (scanmatcher_component.h:102-106)
+        # keyframe scan, prefetch Future) — the functional analogue of the
+        # reference's mapping thread + mapping_future_/is_map_updated_ pair
+        # (scanmatcher_component.h:102-106, scanmatcher_component.cpp:427-434).
+        # The worker thread waits for the device and pulls the submap cloud /
+        # overflow counters to the host so adoption on the scan path is pure
+        # host bookkeeping (a Future.done() poll, never a device sync).
         self._pending: Optional[tuple] = None
+        self._mapping_pool = ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="mapping"
+        )
         self._last_overflow: dict = {}
         # per-stage wall-clock stats (the reference only ad-hoc times align()
         # under debug_flag, scanmatcher_component.cpp:351-354); read via
@@ -383,10 +387,9 @@ class ScanMatcher:
             # mapping thread here, :427-434, guarded by !mapping_flag_;
             # while one is in flight, further keyframe triggers are skipped)
             with self.timer.stage("keyframe_dispatch"), trace("keyframe_update"):
-                self._pending = (
-                    keyframe_update(cfg, self.state, filtered_raw),
-                    stamp, pose_np, 0,
-                )
+                pend = keyframe_update(cfg, self.state, filtered_raw)
+                fut = self._mapping_pool.submit(self._prefetch_mapping, pend)
+                self._pending = (pend, stamp, pose_np, fut)
             result["keyframe"] = True
             if not cfg.async_map_update:
                 result["map_updated"] = self._poll_map_update(block=True)
@@ -394,24 +397,33 @@ class ScanMatcher:
             result["overflow"].update(self._last_overflow)
         return result
 
+    def _prefetch_mapping(self, pend: FrontendState):
+        """Mapping-worker half of the integration (runs on the pool thread,
+        like the reference's updateMap thread): wait for the device to finish
+        the rebuild, then pull everything the host will need — the submap
+        cloud, travel distance, and overflow counters — so adoption on the
+        scan path never touches the device."""
+        K = self.cfg.num_targeted_cloud
+        slot = (int(pend.kf_next) - 1) % K
+        cloud_np = PointCloud(
+            pend.kf_xyz[slot], pend.kf_intensity[slot], pend.kf_valid[slot]
+        ).to_numpy()
+        distance = float(pend.latest_distance)
+        overflow = self._target_overflow(pend)
+        jax.block_until_ready(jax.tree.leaves(pend.target))
+        return cloud_np, distance, overflow
+
     def _poll_map_update(self, block: bool) -> bool:
-        """Adopt the rebuilt state if ready (the reference's double-buffered
-        target swap, :303-318). Pose-trajectory fields keep their CURRENT
-        values — only the ring/target/travel bookkeeping comes from the
-        rebuild."""
+        """Adopt the rebuilt state if the mapping worker finished (the
+        reference's 0-second future poll + double-buffered target swap,
+        :300-322). Pose-trajectory fields keep their CURRENT values — only
+        the ring/target/travel bookkeeping comes from the rebuild."""
         if self._pending is None:
             return False
-        pend, stamp, pose_np, waited = self._pending
-        if not block and not all(
-            x.is_ready() for x in jax.tree.leaves(pend.target)
-        ):
-            if waited < self.cfg.map_update_defer_scans:
-                self._pending = (pend, stamp, pose_np, waited + 1)
-                return False
-            # device order guarantees the rebuild finished before the result
-            # fetched on the previous scan; only the client readiness flag
-            # lags (remote-relay quirk) — so this wait is effectively zero
-            jax.block_until_ready(pend.target)
+        pend, stamp, pose_np, fut = self._pending
+        if not block and not fut.done():
+            return False
+        cloud_np, distance, overflow = fut.result()
         self.state = pend._replace(
             pose=self.state.pose,
             trans=self.state.trans,
@@ -419,8 +431,15 @@ class ScanMatcher:
             has_prev_odom=self.state.has_prev_odom,
         )
         self._pending = None
-        self._append_submap(pose_np, stamp)
-        self._last_overflow = self._target_overflow()
+        self.map_array.append(
+            SubMap(
+                stamp=stamp,
+                pose=pose_np.astype(np.float32),
+                distance=distance,
+                cloud=cloud_np,
+            )
+        )
+        self._last_overflow = overflow
         return True
 
     def flush_map_update(self) -> bool:
@@ -428,19 +447,23 @@ class ScanMatcher:
         before reading final maps/checkpoints)."""
         return self._poll_map_update(block=True)
 
-    def _target_overflow(self) -> dict:
+    def close(self) -> None:
+        """Stop the mapping worker (any in-flight integration completes)."""
+        self._mapping_pool.shutdown(wait=True)
+
+    def _target_overflow(self, state: FrontendState) -> dict:
         """Fetch the target-model overflow counters after a keyframe update
         (one batched device->host transfer)."""
         if self.cfg.registration_method == "NDT":
-            tgt = self.state.target.ndt
+            tgt = state.target.ndt
             n_dropped = tgt.stats.n_dropped
             fat_dropped = tgt.n_fat_dropped
         else:
-            tgt = self.state.target.dist
+            tgt = state.target.dist
             n_dropped = tgt.n_dropped
             fat_dropped = tgt.n_fat_dropped
         kf_d, tgt_d, hash_u, fat_d, fat_u = jax.device_get(
-            (self.state.last_kf_dropped, n_dropped, tgt.table.n_unplaced,
+            (state.last_kf_dropped, n_dropped, tgt.table.n_unplaced,
              fat_dropped, tgt.fat_table.n_unplaced)
         )
         return {
