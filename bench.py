@@ -420,6 +420,13 @@ def main():
     # skipped once exceeded so the process always exits in the driver budget
     budget_s = float(os.environ.get("BENCH_BUDGET_S", "420"))
 
+    def stamp(msg):
+        # stderr progress marks: the remote-TPU relay's compile/first-touch
+        # latency varies minute-to-minute by several 100%, so every run
+        # records where its wall clock went
+        print(f"[bench +{time.monotonic() - t_start:6.1f}s] {msg}",
+              file=sys.stderr, flush=True)
+
     import jax
     import jax.numpy as jnp
 
@@ -429,8 +436,10 @@ def main():
         ndt_build_target,
     )
 
+    stamp("imports done")
     window, source, true_pose = _vlp32_window()
     n_src = int(source.count())
+    stamp("fixtures staged")
 
     cfg = NDTConfig(
         resolution=5.0,  # BASELINE config 1
@@ -443,6 +452,7 @@ def main():
     )
     target = ndt_build_target(cfg, window)
     jax.block_until_ready(target)
+    stamp("target built")
 
     offset = np.eye(4, dtype=np.float32)
     offset[:3, 3] = [0.3, -0.2, 0.05]  # realistic inter-scan seed error
@@ -463,7 +473,9 @@ def main():
         return float(np.median(ts))
 
     t_lo = timed(10)
+    stamp("align compiled + 10-iter timed")
     t_hi = timed(40)
+    stamp("40-iter timed")
     # marginal (slope) cost per LM iteration: removes the fixed per-dispatch
     # overhead of the remote-TPU transport, which would otherwise be billed
     # to the kernel (a pipelined production frontend never pays it per scan)
@@ -507,13 +519,15 @@ def main():
                 window, source, np.asarray(guess), ms_per_iter)),
             ("full_slam", _bench_full_slam),
             ("ate_parity", _bench_ate_parity),
-            ("gicp", lambda: _bench_gicp(window, source, guess)),
             ("multistream", _bench_multistream),
+            ("gicp", lambda: _bench_gicp(window, source, guess)),
         ):
             left = budget_s - (time.monotonic() - t_start)
             if left < 30.0:
                 detail[key] = {"skipped": f"bench budget exhausted ({left:.0f}s left)"}
+                stamp(f"section {key} skipped ({left:.0f}s left)")
                 continue
+            stamp(f"section {key} starting ({left:.0f}s left)")
             t_sec = time.monotonic()
             try:
                 detail[key] = _run_capped(fn, min(left - 10.0, 240.0))

@@ -1,0 +1,134 @@
+"""Analytic symmetric 3x3 eigendecomposition (Eberly's trigonometric method).
+
+``jnp.linalg.eigh`` on a ``[V, 3, 3]`` batch lowers to an iterative QR
+eigensolver that maps terribly onto the TPU (measured ~250 ms for 8x8192
+matrices on v5e — it dominated the whole NDT/GICP target build). A 3x3
+symmetric matrix has a closed-form solution: eigenvalues from the
+characteristic cubic via the trigonometric identity, eigenvectors from
+cross products of the rows of ``A - w I``. Everything below is elementwise
+VPU math — no loops, no convergence iterations — and runs in microseconds
+at the same batch size.
+
+Convention matches ``jnp.linalg.eigh``: ``w`` ascending, eigenvectors in
+COLUMNS (``V[..., :, j]`` pairs with ``w[..., j]``).
+
+Reference: D. Eberly, "A Robust Eigensolver for 3x3 Symmetric Matrices"
+(Geometric Tools, public domain algorithm description).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+
+def _cross(a, b):
+    return jnp.stack(
+        [
+            a[..., 1] * b[..., 2] - a[..., 2] * b[..., 1],
+            a[..., 2] * b[..., 0] - a[..., 0] * b[..., 2],
+            a[..., 0] * b[..., 1] - a[..., 1] * b[..., 0],
+        ],
+        axis=-1,
+    )
+
+
+def _unit_eigenvector(A: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """Eigenvector of symmetric ``A`` for eigenvalue ``w`` by the max-norm
+    cross product of rows of ``A - w I`` (rank-2 when ``w`` is simple)."""
+    r0 = jnp.stack([A[..., 0, 0] - w, A[..., 0, 1], A[..., 0, 2]], axis=-1)
+    r1 = jnp.stack([A[..., 0, 1], A[..., 1, 1] - w, A[..., 1, 2]], axis=-1)
+    r2 = jnp.stack([A[..., 0, 2], A[..., 1, 2], A[..., 2, 2] - w], axis=-1)
+    c01, c02, c12 = _cross(r0, r1), _cross(r0, r2), _cross(r1, r2)
+    n01 = jnp.sum(c01 * c01, axis=-1, keepdims=True)
+    n02 = jnp.sum(c02 * c02, axis=-1, keepdims=True)
+    n12 = jnp.sum(c12 * c12, axis=-1, keepdims=True)
+    best = jnp.where(n01 >= n02, c01, c02)
+    nbest = jnp.maximum(n01, n02)
+    best = jnp.where(nbest >= n12, best, c12)
+    nbest = jnp.maximum(nbest, n12)
+    # degenerate (repeated eigenvalue): fall back to e0 — caller fixes it up
+    safe = jnp.sqrt(jnp.maximum(nbest, 1e-38))
+    v = best / safe
+    fallback = jnp.zeros_like(v).at[..., 0].set(1.0)
+    return jnp.where(nbest > 1e-30, v, fallback)
+
+
+def _orthonormal_to(v: jnp.ndarray) -> jnp.ndarray:
+    """A unit vector orthogonal to unit ``v`` (branchless axis pick)."""
+    # cross with the coordinate axis least aligned with v
+    ax = jnp.argmin(jnp.abs(v), axis=-1, keepdims=True)
+    e = (jnp.arange(3) == ax).astype(v.dtype)
+    u = _cross(v, e)
+    return u / jnp.sqrt(
+        jnp.maximum(jnp.sum(u * u, axis=-1, keepdims=True), 1e-38)
+    )
+
+
+def eigh3(A: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Closed-form ``eigh`` for symmetric ``[..., 3, 3]``.
+
+    Returns ``(w, V)`` with ``w[..., 0] <= w[..., 1] <= w[..., 2]`` and unit
+    eigenvectors in the columns of ``V`` (same contract as
+    ``jnp.linalg.eigh``). Exact for repeated eigenvalues up to the choice of
+    basis inside the eigenspace (any orthonormal basis is returned there —
+    reconstruction ``V diag(w) V^T`` is unaffected).
+    """
+    a00, a01, a02 = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    a11, a12, a22 = A[..., 1, 1], A[..., 1, 2], A[..., 2, 2]
+
+    q = (a00 + a11 + a22) / 3.0
+    b00, b11, b22 = a00 - q, a11 - q, a22 - q
+    p2 = (b00 * b00 + b11 * b11 + b22 * b22) / 6.0 + (
+        a01 * a01 + a02 * a02 + a12 * a12
+    ) / 3.0
+    p = jnp.sqrt(jnp.maximum(p2, 0.0))
+    # clamp well above f32 denormals: safe_p**3 must not flush to zero
+    # (p < 1e-12 is isotropic at f32 precision anyway, and w = q + 2 p cos
+    # degrades gracefully to the exact answer as p -> 0)
+    safe_p = jnp.maximum(p, 1e-12)
+    # r = det((A - q I) / p) / 2  in [-1, 1]
+    det_b = (
+        b00 * (b11 * b22 - a12 * a12)
+        - a01 * (a01 * b22 - a12 * a02)
+        + a02 * (a01 * a12 - b11 * a02)
+    )
+    r = jnp.clip(det_b / (2.0 * safe_p * safe_p * safe_p), -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    w2 = q + 2.0 * p * jnp.cos(phi)
+    w0 = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+    w1 = 3.0 * q - w0 - w2
+    w = jnp.stack([w0, w1, w2], axis=-1)
+
+    # eigenvector for the best-separated extremal eigenvalue first (rank-2
+    # row space — the cross-product method is robust there), then the other
+    # extremal orthogonalized against it, middle by cross product
+    hi_separated = (w2 - w1) >= (w1 - w0)
+    wa = jnp.where(hi_separated, w2, w0)
+    wb = jnp.where(hi_separated, w0, w2)
+    va = _unit_eigenvector(A, wa)
+    vb_raw = _unit_eigenvector(A, wb)
+    # remove any va component (repeated-eigenvalue contamination)
+    vb = vb_raw - jnp.sum(vb_raw * va, axis=-1, keepdims=True) * va
+    nb = jnp.sum(vb * vb, axis=-1, keepdims=True)
+    vb = jnp.where(
+        nb > 1e-24,
+        vb / jnp.sqrt(jnp.maximum(nb, 1e-38)),
+        _orthonormal_to(va),
+    )
+    vm = _cross(va, vb)
+    v0 = jnp.where(hi_separated[..., None], vb, va)
+    v2 = jnp.where(hi_separated[..., None], va, vb)
+
+    # isotropic matrices (p ~ 0): any basis works; use identity
+    iso = (p2 <= 1e-30)[..., None]
+    e0 = jnp.zeros_like(v0).at[..., 0].set(1.0)
+    e1 = jnp.zeros_like(v0).at[..., 1].set(1.0)
+    e2 = jnp.zeros_like(v0).at[..., 2].set(1.0)
+    v0 = jnp.where(iso, e0, v0)
+    vm = jnp.where(iso, e1, vm)
+    v2 = jnp.where(iso, e2, v2)
+
+    V = jnp.stack([v0, vm, v2], axis=-1)  # columns
+    return w, V

@@ -31,6 +31,7 @@ from ..core.voxel import (
     lookup_hash_table,
     voxel_coords,
 )
+from .eig3 import eigh3
 from .gn_terms import gn_terms_channels, inv3x3_sym_channels
 from .ndt import DIRECT7_OFFSETS, build_fat_rows, build_hash_rows, probe_fat_rows
 from .voxelize import voxel_stats
@@ -69,7 +70,7 @@ def plane_regularize(cov: jnp.ndarray, plane_epsilon: float) -> jnp.ndarray:
     Keeps only surface orientation, like PCL GICP's
     ``computeCovariances`` regularization.
     """
-    w, v = jnp.linalg.eigh(cov)  # ascending
+    w, v = eigh3(cov)  # ascending (analytic 3x3 — see ops/eig3.py)
     w_reg = jnp.stack(
         [jnp.full_like(w[..., 0], plane_epsilon), jnp.ones_like(w[..., 1]), jnp.ones_like(w[..., 2])],
         axis=-1,

@@ -219,22 +219,22 @@ def build_fat_rows(
         key_a, key_b, svalid, dilated_capacity
     )
     n_dropped = jnp.maximum(used - dilated_capacity, 0)
-    big = jnp.iinfo(jnp.int32).min
-    dcoords = jnp.stack(
-        [
-            jax.ops.segment_max(jnp.where(svalid, c, big), seg,
-                                num_segments=dilated_capacity + 1)[:dilated_capacity]
-            for c in (cx, cy, cz)
-        ],
-        axis=-1,
+    # rows are sorted: each segment's FIRST row carries its coords — one
+    # narrow i32 scatter-min + a gather replaces 3x segment_max + a
+    # segment_sum (TPU scatters dominate this build; gathers are cheap)
+    VK = seg.shape[0]
+    pos = jnp.arange(VK, dtype=jnp.int32)
+    first_pos = (
+        jnp.full((dilated_capacity + 1,), VK, jnp.int32)
+        .at[seg].min(pos, mode="drop")[:dilated_capacity]
     )
-    dvalid = (
-        jax.ops.segment_sum(
-            svalid.astype(jnp.int32), seg, num_segments=dilated_capacity + 1
-        )[:dilated_capacity]
-        > 0
+    dvalid = first_pos < VK
+    safe = jnp.minimum(first_pos, VK - 1)
+    dcoords = jnp.where(
+        dvalid[:, None],
+        jnp.stack([cx[safe], cy[safe], cz[safe]], axis=-1),
+        INT32_MAX,
     )
-    dcoords = jnp.where(dvalid[:, None], dcoords, INT32_MAX)
 
     # >= 2*capacity slots, bucket count a power of two
     n_buckets = 1
@@ -244,21 +244,26 @@ def build_fat_rows(
         dcoords, dvalid, n_buckets, FAT_LANES
     )
 
-    # payload scatter: candidate (v, k) fills lane opp(k) of cell seg.
-    # zero stays in unoccupied lanes (packed sentinel means of invalid
-    # voxels would otherwise overflow downstream channel math to inf/nan;
-    # zeros also make fat == thin bit-for-bit).
-    prow = packed[jnp.maximum(src_s, 0)]  # [VK, 12]
-    occm = prow[:, 9] * svalid
-    pay = jnp.concatenate([prow[:, 0:9] * occm[:, None], occm[:, None]], axis=1)
+    # payload: candidate (v, k) fills lane opp(k) of cell seg. Destinations
+    # are unique, so the placement is a permutation — scatter ONE i32 index
+    # per candidate, then GATHER the 10-channel payload rows (a [VK,10] f32
+    # scatter is what used to dominate here). Zero stays in unoccupied lanes
+    # (packed sentinel means of invalid voxels would otherwise overflow
+    # downstream channel math to inf/nan; zeros also make fat == thin
+    # bit-for-bit).
     trash = dilated_capacity * K
     dest = jnp.where(svalid & (seg < dilated_capacity), seg * K + lane_s, trash)
-    payload = (
-        jnp.zeros((trash + 1, 10), jnp.float32)
-        .at[dest]
-        .set(pay, mode="drop")[:trash]
-        .reshape(dilated_capacity, K * 10)
-    )  # [D, 70]
+    idx = (
+        jnp.full((trash + 1,), -1, jnp.int32)
+        .at[dest].set(jnp.arange(VK, dtype=jnp.int32), mode="drop")[:trash]
+    )
+    got = idx >= 0
+    gidx = jnp.maximum(idx, 0)
+    prow = packed[jnp.maximum(src_s[gidx], 0)]  # [trash, 12]
+    occm = prow[:, 9] * (svalid[gidx] & got)
+    payload = jnp.concatenate(
+        [prow[:, 0:9] * occm[:, None], occm[:, None]], axis=1
+    ).reshape(dilated_capacity, K * 10)  # [D, 70]
 
     # fuse into per-lane rows [H2, 73], then pack lanes into bucket rows
     H2 = fat_table.slot_idx.shape[0]  # n_buckets * FAT_LANES

@@ -49,10 +49,12 @@ class FleetStats(NamedTuple):
     total_keyframes: jnp.ndarray  # i32 scalar
 
 
-def _single_stream_step(
+def _register_phase(
     cfg: FrontendConfig, state: FrontendState, raw: PointCloud, imu: ImuHistory
-) -> Tuple[FrontendState, StepOutputs]:
-    """One full frontend step incl. branchless keyframe handling."""
+):
+    """Per-stream preprocess + register; returns the insert decision and the
+    filtered cloud so the (much more expensive) keyframe rebuild can be
+    gated OUTSIDE the vmap."""
     filtered_raw, source, n_dropped = preprocess(cfg, raw, imu)
     state, out = register_scan(
         cfg, state, source, jnp.eye(4, dtype=jnp.float32), jnp.asarray(False)
@@ -62,13 +64,40 @@ def _single_stream_step(
     # (the batched analogue of the reference's initializeMap, :262-294)
     uninitialized = ~jnp.any(state.kf_slot_used)
     insert = out.need_keyframe | uninitialized
-    rebuilt = keyframe_update(cfg, state, filtered_raw)
-    state = jax.tree.map(
-        lambda a, b: jnp.where(jnp.reshape(insert, (1,) * a.ndim), b, a),
-        state,
-        rebuilt,
-    )
-    return state, out._replace(need_keyframe=insert)
+    return state, out._replace(need_keyframe=insert), filtered_raw
+
+
+def _batched_step_fn(cfg: FrontendConfig):
+    """states, raws, imus -> (states, outs). The keyframe rebuild runs under
+    a top-level ``lax.cond`` on ``any(insert)``: the cond sits OUTSIDE the
+    vmap, so it lowers to a real branch — steps where no stream keyframes
+    skip the entire rebuild program (which costs several times the
+    registration itself). Per-stream selection inside the taken branch stays
+    branchless (vmap-friendly ``where``)."""
+    vreg = jax.vmap(partial(_register_phase, cfg))
+    vrebuild = jax.vmap(partial(keyframe_update, cfg))
+
+    def step(states, raws, imus):
+        states, outs, filtered = vreg(states, raws, imus)
+        insert = outs.need_keyframe
+
+        def do_rebuild(args):
+            states, filtered = args
+            rebuilt = vrebuild(states, filtered)
+            return jax.tree.map(
+                lambda a, b: jnp.where(
+                    jnp.reshape(insert, insert.shape + (1,) * (a.ndim - 1)), b, a
+                ),
+                states,
+                rebuilt,
+            )
+
+        states = jax.lax.cond(
+            jnp.any(insert), do_rebuild, lambda args: args[0], (states, filtered)
+        )
+        return states, outs
+
+    return step
 
 
 def make_batched_step(cfg: FrontendConfig, mesh: Optional[Mesh] = None):
@@ -78,7 +107,7 @@ def make_batched_step(cfg: FrontendConfig, mesh: Optional[Mesh] = None):
     (axis "stream"): shard_map over devices, vmap inside, psum fleet stats.
     Returns ``step(states, raws, imus) -> (states, outputs, FleetStats)``.
     """
-    vstep = jax.vmap(partial(_single_stream_step, cfg))
+    vstep = _batched_step_fn(cfg)
 
     if mesh is None:
 

@@ -120,7 +120,7 @@ def test_keyframe_and_target_overflow_surfaced():
         )
         sm = ScanMatcher(cfg)
         sm.process_scan(scan, stamp=0.0)  # _init_map ran keyframe_update
-        return sm._target_overflow()
+        return sm._target_overflow(sm.state)
 
     # starved keyframe cloud: a VLP16 scan at vg 0.1 has >> 256 voxels
     ov_kf = run(kf_cap=256, ndt_cap=8192, res=1.0)
