@@ -267,7 +267,7 @@ def _bench_full_slam():
     ]
     period = 0.1
     lat = []
-    t_begin = time.perf_counter()
+    t_paced = None
     try:
         for k, scan in enumerate(scans):
             t0 = time.perf_counter()
@@ -275,11 +275,17 @@ def _bench_full_slam():
             t1 = time.perf_counter()
             lat.append(t1 - t0)
             if k >= 2:  # pace only after the compile scans
+                if t_paced is None:
+                    t_paced = t0  # realtime factor over the paced region only
                 time.sleep(max(0.0, (t0 + period) - time.perf_counter()))
-        wall = time.perf_counter() - t_begin
+        wall = time.perf_counter() - (t_paced or time.perf_counter())
         app.finish()
         loops = len(app.graph_based_slam.engine.loop_edges)
         stage_timing = app.scan_matcher.engine.timer.summary()
+        stage_timing.update(
+            {f"backend_{k}": v
+             for k, v in app.graph_based_slam.engine.timer.summary().items()}
+        )
     finally:
         app.close()
     lat = np.asarray(lat[2:])  # drop compile scans

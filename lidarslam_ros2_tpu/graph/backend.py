@@ -35,6 +35,7 @@ from ..io.pcd import save_pcd
 from ..models import registration as reg
 from ..ops.gicp import source_covariances
 from ..ops.voxelize import voxel_downsample
+from ..utils.timing import StageTimer
 from .pose_graph import build_graph, optimize_pose_graph
 
 
@@ -102,6 +103,8 @@ class GraphBasedSlam:
         self.modified_map_array: Optional[MapArray] = None
         self.modified_path: Optional[np.ndarray] = None
         self._map_array_updated = False
+        # per-stage wall-clock stats, like the frontend's (utils/timing.py)
+        self.timer = StageTimer()
 
     # -- inputs ---------------------------------------------------------------
     def receive_map_array(self, map_array: MapArray) -> None:
@@ -173,8 +176,9 @@ class GraphBasedSlam:
             cfg.target_capacity,
         )
 
-        result = self._register(tgt, source)
-        fitness = float(result.fitness)
+        with self.timer.stage("loop_register"):
+            result = self._register(tgt, source)
+            fitness = float(result.fitness)
         if cfg.debug_flag:
             print(
                 f"loop check: candidate={id_min} latest={n - 1} "
@@ -202,19 +206,20 @@ class GraphBasedSlam:
             if self.loop_edges
             else np.zeros((0, 4, 4), np.float32)
         )
-        graph = build_graph(
-            poses, cfg.num_adjacent_pose_cnstraints, loop_pairs, loop_rel
-        )
-        new_poses, chi2 = optimize_pose_graph(
-            graph,
-            gn_iters=cfg.gn_iterations,
-            cg_iters=cfg.cg_iterations,
-            huber_delta=cfg.loop_huber_delta,
-            band_width=cfg.num_adjacent_pose_cnstraints,
-            robust_kernel=cfg.loop_robust_kernel,
-        )
-        n = len(map_array)
-        corrected = np.asarray(new_poses)[:n]
+        with self.timer.stage("pose_graph_solve"):
+            graph = build_graph(
+                poses, cfg.num_adjacent_pose_cnstraints, loop_pairs, loop_rel
+            )
+            new_poses, chi2 = optimize_pose_graph(
+                graph,
+                gn_iters=cfg.gn_iterations,
+                cg_iters=cfg.cg_iterations,
+                huber_delta=cfg.loop_huber_delta,
+                band_width=cfg.num_adjacent_pose_cnstraints,
+                robust_kernel=cfg.loop_robust_kernel,
+            )
+            n = len(map_array)
+            corrected = np.asarray(new_poses)[:n]
 
         # g2o export (:319)
         edges = []

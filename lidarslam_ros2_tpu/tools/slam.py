@@ -247,8 +247,12 @@ def main(argv=None) -> int:
         "trajectory_length_m": float(
             np.sum(np.linalg.norm(np.diff(path[:, :3, 3], axis=0), axis=1))
         ) if len(path) > 1 else 0.0,
-        # per-stage wall-clock breakdown (frontend engine StageTimer)
+        # per-stage wall-clock breakdown (frontend + backend StageTimers)
         "stage_timing": app.scan_matcher.engine.timer.summary(),
+        "backend_stage_timing": (
+            app.graph_based_slam.engine.timer.summary()
+            if hasattr(app, "graph_based_slam") else {}
+        ),
     }
     with open(os.path.join(args.output, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
