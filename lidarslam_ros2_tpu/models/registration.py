@@ -26,6 +26,7 @@ from ..core import se3
 from ..core.pointcloud import PointCloud
 from ..ops import gicp as gicp_ops
 from ..ops import ndt as ndt_ops
+from ..ops.voxelize import finalize_voxel_stats
 from ..ops.nn import fitness_score
 
 
@@ -223,6 +224,35 @@ def ndt_build_target(cfg: NDTConfig, cloud: PointCloud) -> NDTTargetState:
 
 
 @partial(jax.jit, static_argnames=("cfg",))
+def ndt_build_target_from_partials(
+    cfg: NDTConfig, partials: tuple
+) -> NDTTargetState:
+    """Build the (possibly multi-level) NDT target from MERGED per-keyframe
+    moment tables (``ops.voxelize.PartialVoxelStats``), fine level first —
+    the keyframe-ring fast path: no re-binning of raw window points. Only
+    valid with ``compute_fitness=False`` (there is no raw cloud to run the
+    NN fitness sweep against)."""
+    assert not cfg.compute_fitness, "stats-ring targets cannot compute fitness"
+    assert len(partials) == 1 + len(cfg.coarse_resolutions)
+    ndt = ndt_ops.build_ndt_target_from_stats(
+        finalize_voxel_stats(partials[0], min_points=cfg.min_points_per_voxel),
+        cfg.resolution,
+        outlier_ratio=cfg.outlier_ratio,
+        dilation_factor=cfg.dilation_factor,
+    )
+    coarse = tuple(
+        ndt_ops.build_ndt_target_from_stats(
+            finalize_voxel_stats(p, min_points=cfg.min_points_per_voxel),
+            r,
+            outlier_ratio=cfg.outlier_ratio,
+            dilation_factor=cfg.dilation_factor,
+        )
+        for r, p in zip(cfg.coarse_resolutions, partials[1:])
+    )
+    return NDTTargetState(ndt=ndt, raw=PointCloud.empty(8), coarse=coarse)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
 def ndt_align(
     cfg: NDTConfig,
     target: NDTTargetState,
@@ -306,6 +336,24 @@ def gicp_build_target(cfg: GICPConfig, cloud: PointCloud) -> GICPTargetState:
         dilation_factor=cfg.dilation_factor,
     )
     return GICPTargetState(dist=dist, raw=cloud)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def gicp_build_target_from_stats(cfg: GICPConfig, partial_stats) -> GICPTargetState:
+    """GICP target from a merged per-keyframe moment table (see
+    ``ndt_build_target_from_partials``)."""
+    assert not cfg.compute_fitness, "stats-ring targets cannot compute fitness"
+    dist = gicp_ops.build_gicp_target_from_stats(
+        finalize_voxel_stats(
+            partial_stats,
+            min_points=cfg.min_points_per_voxel,
+            min_eig_ratio=1e-3,
+        ),
+        cfg.voxel_resolution,
+        plane_epsilon=cfg.plane_epsilon,
+        dilation_factor=cfg.dilation_factor,
+    )
+    return GICPTargetState(dist=dist, raw=PointCloud.empty(8))
 
 
 @partial(jax.jit, static_argnames=("cfg",))

@@ -35,7 +35,11 @@ from ..models import registration as reg
 from ..ops import gicp as gicp_ops
 from ..ops.deskew import ImuHistory, deskew
 from ..ops.filters import min_max_range_filter
-from ..ops.voxelize import voxel_downsample_counted
+from ..ops.voxelize import (
+    merge_partial_stats,
+    partial_voxel_stats,
+    voxel_downsample_counted,
+)
 from ..utils.imu import ImuIntegrator
 from ..utils.timing import StageTimer, trace
 
@@ -74,9 +78,27 @@ class FrontendConfig:
     scan_capacity: int = 65536  # raw points per scan
     input_capacity: int = 16384  # after vg_size_for_input downsample
     keyframe_capacity: int = 16384  # keyframe cloud at vg_size_for_map
+    # per-keyframe partial NDT/GICP voxel-moment table size (per pyramid
+    # level). A keyframe cloud occupies a few hundred voxels at typical
+    # registration resolutions; 2048 gives ample headroom (overflow counted)
+    keyframe_stats_capacity: int = 2048
 
     def reg_cfg(self):
         return self.ndt if self.registration_method == "NDT" else self.gicp
+
+    def stats_ring(self) -> bool:
+        """Whether keyframes carry per-level voxel-moment tables so the
+        target rebuild merges K tiny tables instead of re-binning K x C
+        window points (~10x fewer reduction rows). Requires
+        compute_fitness=False — there is no raw window cloud to sweep."""
+        return not self.reg_cfg().compute_fitness
+
+    def stat_levels(self) -> tuple:
+        """Voxel resolutions of the per-keyframe moment tables (fine level
+        first, then any NDT coarse-pyramid levels)."""
+        if self.registration_method == "NDT":
+            return (self.ndt.resolution, *self.ndt.coarse_resolutions)
+        return (self.gicp.voxel_resolution,)
 
 
 class FrontendState(NamedTuple):
@@ -96,6 +118,13 @@ class FrontendState(NamedTuple):
     prev_odom: jnp.ndarray  # f32[4,4]
     has_prev_odom: jnp.ndarray  # bool
     last_kf_dropped: jnp.ndarray  # i32: keyframe-downsample voxels dropped
+    # per-level per-slot WORLD-frame voxel-moment tables (cfg.stats_ring()):
+    # tuple over cfg.stat_levels() of (coords i32[K,P,3], moments f32[K,P,10]);
+    # empty tuple when the stats ring is disabled. Poses are frozen at
+    # insert, so world-frame binning at insert == binning the transformed
+    # window at build time.
+    kf_stats: Tuple = ()
+    last_kf_stats_dropped: jnp.ndarray = None  # i32: worst level at last insert
 
 
 class StepOutputs(NamedTuple):
@@ -216,6 +245,26 @@ def insert_keyframe(
     )
     slot = state.kf_next
     K = state.kf_xyz.shape[0]
+    kf_stats = state.kf_stats
+    stats_dropped = state.last_kf_stats_dropped
+    if cfg.stats_ring():
+        # world-frame per-level moment tables for this keyframe: the build
+        # then merges K tiny tables instead of re-binning K x C points
+        world = PointCloud(
+            xyz=kf_cloud.xyz @ state.pose[:3, :3].T + state.pose[:3, 3],
+            intensity=kf_cloud.intensity,
+            valid=kf_cloud.valid,
+        )
+        new_stats = []
+        stats_dropped = jnp.int32(0)
+        for (coords_l, moments_l), res in zip(kf_stats, cfg.stat_levels()):
+            p = partial_voxel_stats(world, res, cfg.keyframe_stats_capacity)
+            new_stats.append(
+                (coords_l.at[slot].set(p.coords),
+                 moments_l.at[slot].set(p.moments))
+            )
+            stats_dropped = jnp.maximum(stats_dropped, p.n_dropped)
+        kf_stats = tuple(new_stats)
     return state._replace(
         previous_position=se3.translation(state.pose),
         latest_distance=state.latest_distance + state.trans,
@@ -226,6 +275,8 @@ def insert_keyframe(
         kf_slot_used=state.kf_slot_used.at[slot].set(True),
         kf_next=(slot + 1) % K,
         last_kf_dropped=kf_dropped,
+        kf_stats=kf_stats,
+        last_kf_stats_dropped=stats_dropped,
     )
 
 
@@ -234,7 +285,22 @@ def build_target_from_ring(
     cfg: FrontendConfig, state: FrontendState
 ) -> FrontendState:
     """Compile the registration target from the keyframe ring: every used
-    slot transformed to the map frame (reference updateMap :452-464)."""
+    slot transformed to the map frame (reference updateMap :452-464).
+
+    With ``cfg.stats_ring()`` the build merges the per-keyframe voxel-moment
+    tables (stored world-frame at insert) — ~10x fewer reduction rows than
+    re-binning the K x C window points, and no window transform at all."""
+    if cfg.stats_ring():
+        cap = cfg.reg_cfg().voxel_capacity
+        merged = tuple(
+            merge_partial_stats(coords_l, moments_l, cap)
+            for coords_l, moments_l in state.kf_stats
+        )
+        if cfg.registration_method == "NDT":
+            target = reg.ndt_build_target_from_partials(cfg.ndt, merged)
+        else:
+            target = reg.gicp_build_target_from_stats(cfg.gicp, merged[0])
+        return state._replace(target=target)
     world_xyz = jnp.einsum(
         "kij,knj->kni", state.kf_pose[:, :3, :3], state.kf_xyz
     ) + state.kf_pose[:, None, :3, 3]
@@ -462,9 +528,10 @@ class ScanMatcher:
             tgt = state.target.dist
             n_dropped = tgt.n_dropped
             fat_dropped = tgt.n_fat_dropped
-        kf_d, tgt_d, hash_u, fat_d, fat_u = jax.device_get(
+        kf_d, tgt_d, hash_u, fat_d, fat_u, kfs_d = jax.device_get(
             (state.last_kf_dropped, n_dropped, tgt.table.n_unplaced,
-             fat_dropped, tgt.fat_table.n_unplaced)
+             fat_dropped, tgt.fat_table.n_unplaced,
+             state.last_kf_stats_dropped)
         )
         return {
             "keyframe_voxels_dropped": int(kf_d),
@@ -474,21 +541,49 @@ class ScanMatcher:
             # dilated cells that failed bucket placement: absent from the
             # hot-path index => silently lost correspondences if nonzero
             "fat_slots_unplaced": int(fat_u),
+            # per-keyframe moment-table overflow (stats ring only)
+            "keyframe_stat_voxels_dropped": int(kfs_d),
         }
 
     # -- internals ------------------------------------------------------------
     def _empty_state(self) -> FrontendState:
         cfg = self.cfg
-        K, C = cfg.num_targeted_cloud, cfg.keyframe_capacity
-        dummy_window = PointCloud.empty(K * C)
-        if cfg.registration_method == "NDT":
-            target = reg.ndt_build_target(cfg.ndt, dummy_window)
-        elif cfg.registration_method == "GICP":
-            target = reg.gicp_build_target(cfg.gicp, dummy_window)
-        else:  # reference exits on invalid method (:121-124)
+        if cfg.registration_method not in ("NDT", "GICP"):
+            # reference exits on invalid method (:121-124)
             raise ValueError(
                 f"invalid registration method: {cfg.registration_method}"
             )
+        K, C = cfg.num_targeted_cloud, cfg.keyframe_capacity
+        P = cfg.keyframe_stats_capacity
+        int_max = jnp.iinfo(jnp.int32).max
+        kf_stats = ()
+        if cfg.stats_ring():
+            kf_stats = tuple(
+                (jnp.full((K, P, 3), int_max, jnp.int32),
+                 jnp.zeros((K, P, 10), jnp.float32))
+                for _ in cfg.stat_levels()
+            )
+            if cfg.registration_method == "NDT":
+                target = reg.ndt_build_target_from_partials(
+                    cfg.ndt,
+                    tuple(
+                        merge_partial_stats(c, m, cfg.ndt.voxel_capacity)
+                        for c, m in kf_stats
+                    ),
+                )
+            else:
+                target = reg.gicp_build_target_from_stats(
+                    cfg.gicp,
+                    merge_partial_stats(
+                        *kf_stats[0], cfg.gicp.voxel_capacity
+                    ),
+                )
+        else:
+            dummy_window = PointCloud.empty(K * C)
+            if cfg.registration_method == "NDT":
+                target = reg.ndt_build_target(cfg.ndt, dummy_window)
+            else:
+                target = reg.gicp_build_target(cfg.gicp, dummy_window)
         pose0 = jnp.asarray(self._initial_pose)
         return FrontendState(
             pose=pose0,
@@ -505,6 +600,8 @@ class ScanMatcher:
             prev_odom=jnp.eye(4, dtype=jnp.float32),
             has_prev_odom=jnp.asarray(False),
             last_kf_dropped=jnp.int32(0),
+            kf_stats=kf_stats,
+            last_kf_stats_dropped=jnp.int32(0),
         )
 
     def _init_map(self, filtered_raw: PointCloud, stamp: float) -> None:

@@ -93,17 +93,16 @@ class GICPTarget(NamedTuple):
     n_dropped: jnp.ndarray  # i32: target voxels beyond capacity (overflow)
 
 
-def build_gicp_target(
-    cloud: PointCloud,
+def build_gicp_target_from_stats(
+    stats,
     resolution: float,
-    voxel_capacity: int,
-    min_points: int = 4,
     plane_epsilon: float = 1e-3,
     dilation_factor: int = 4,
 ) -> GICPTarget:
-    stats = voxel_stats(
-        cloud, resolution, voxel_capacity, min_points=min_points, min_eig_ratio=1e-3
-    )
+    """Index finalized voxel Gaussians as a GICP target (split out so the
+    frontend can build from merged per-keyframe moment tables — see
+    ops/ndt.py ``build_ndt_target_from_stats``)."""
+    voxel_capacity = stats.coords.shape[0]
     cov = plane_regularize(stats.cov, plane_epsilon)
     cov = jnp.where(stats.valid[:, None, None], cov, jnp.eye(3, dtype=cov.dtype))
     table = build_hash_table(stats.coords, stats.valid, table_size=2 * voxel_capacity)
@@ -137,6 +136,23 @@ def build_gicp_target(
         n_fat_dropped=n_fat_dropped,
         inv_leaf=jnp.asarray(1.0 / resolution, dtype=jnp.float32),
         n_dropped=stats.n_dropped,
+    )
+
+
+def build_gicp_target(
+    cloud: PointCloud,
+    resolution: float,
+    voxel_capacity: int,
+    min_points: int = 4,
+    plane_epsilon: float = 1e-3,
+    dilation_factor: int = 4,
+) -> GICPTarget:
+    stats = voxel_stats(
+        cloud, resolution, voxel_capacity, min_points=min_points, min_eig_ratio=1e-3
+    )
+    return build_gicp_target_from_stats(
+        stats, resolution, plane_epsilon=plane_epsilon,
+        dilation_factor=dilation_factor,
     )
 
 

@@ -127,19 +127,19 @@ def _pack_stats(stats: VoxelStats) -> jnp.ndarray:
     return packed
 
 
-def build_ndt_target(
-    cloud: PointCloud,
+def build_ndt_target_from_stats(
+    stats,
     resolution: float,
-    voxel_capacity: int,
     outlier_ratio: float = 0.55,
-    min_points: int = 6,
     dilation_factor: int = 4,
 ) -> NDTTarget:
-    """setInputTarget: voxelize the target cloud into Gaussian leaves and
-    index them with an open-addressed hash (table = 2x voxel capacity), plus
-    the fat-row dilated index (capacity = dilation_factor x voxel_capacity;
-    the DIRECT7 dilation of a surface-like occupancy is typically 3-4x)."""
-    stats = voxel_stats(cloud, resolution, voxel_capacity, min_points=min_points)
+    """Index finalized Gaussian leaves: open-addressed hash (table = 2x leaf
+    capacity) plus the fat-row dilated index (capacity = dilation_factor x
+    leaf capacity; the DIRECT7 dilation of a surface-like occupancy is
+    typically 3-4x). Split from :func:`build_ndt_target` so targets can be
+    built from MERGED per-keyframe moment tables (ops/voxelize.py
+    ``merge_partial_stats``) without re-binning raw points."""
+    voxel_capacity = stats.coords.shape[0]
     table = build_hash_table(stats.coords, stats.valid, table_size=2 * voxel_capacity)
     d1, d2 = gauss_constants(resolution, outlier_ratio)
     packed = _pack_stats(stats)
@@ -159,6 +159,23 @@ def build_ndt_target(
         inv_leaf=jnp.asarray(1.0 / resolution, dtype=jnp.float32),
         d1=jnp.asarray(d1, dtype=jnp.float32),
         d2=jnp.asarray(d2, dtype=jnp.float32),
+    )
+
+
+def build_ndt_target(
+    cloud: PointCloud,
+    resolution: float,
+    voxel_capacity: int,
+    outlier_ratio: float = 0.55,
+    min_points: int = 6,
+    dilation_factor: int = 4,
+) -> NDTTarget:
+    """setInputTarget: voxelize the target cloud into Gaussian leaves and
+    index them (see :func:`build_ndt_target_from_stats`)."""
+    stats = voxel_stats(cloud, resolution, voxel_capacity, min_points=min_points)
+    return build_ndt_target_from_stats(
+        stats, resolution, outlier_ratio=outlier_ratio,
+        dilation_factor=dilation_factor,
     )
 
 

@@ -130,27 +130,28 @@ def regularize_covariance(cov: jnp.ndarray, min_eig_ratio: float = 0.01):
     return cov_reg, inv_cov
 
 
-def voxel_stats(
-    cloud: PointCloud,
-    leaf_size,
-    capacity: int,
-    min_points: int = 6,
-    min_eig_ratio: float = 0.01,
-) -> VoxelStats:
-    """Mean + regularized covariance per occupied voxel.
+class PartialVoxelStats(NamedTuple):
+    """Additive per-voxel moments — the mergeable half of the NDT model.
 
-    Covariance follows the VoxelGridCovariance estimator: population moment
-    scaled by (n-1)/n, i.e. ``cov = (E[xx^T] - mu mu^T) * (n-1)/n``. Voxels
-    with fewer than ``min_points`` points are flagged invalid (PCL default 6).
+    ``moments[:, 0]`` = count, ``[:, 1:4]`` = sum(xyz), ``[:, 4:10]`` =
+    upper-triangular outer-product sums (xx xy xz yy yz zz). Moments of the
+    SAME world voxel from different clouds add exactly, so a keyframe-window
+    target can be built by merging K tiny per-keyframe tables instead of
+    re-binning K x C raw points every rebuild (see frontend keyframe ring).
     """
-    inv_leaf = 1.0 / jnp.asarray(leaf_size, dtype=cloud.xyz.dtype)
-    key_a, key_b, xyz, _, valid, coords = _sort_by_voxel(cloud, inv_leaf)
-    seg, used = segment_ids_from_sorted_keys(key_a, key_b, valid, capacity)
+
+    coords: jnp.ndarray  # i32[P, 3], INT32_MAX pad
+    moments: jnp.ndarray  # f32[P, 10]
+    n_dropped: jnp.ndarray  # i32
+
+
+def _segment_moments(xyz, valid, coords, seg, capacity):
+    """Fused [N,10] moment scatter-add + first-row coord gather over
+    pre-sorted segments (ONE wide scatter-add + ONE narrow scatter-min —
+    TPU scatter cost scales with the number of scatter ops far more than
+    with row width, and the full 3x3 outer is redundant)."""
     nseg = capacity + 1
     ones = valid.astype(xyz.dtype)
-    # ONE fused [N,10] scatter-add for all moments (count, sum, upper-tri
-    # outer) — TPU scatter cost scales with the number of scatter ops far
-    # more than with row width, and the full 3x3 outer is redundant
     x, y, z = xyz[:, 0] * ones, xyz[:, 1] * ones, xyz[:, 2] * ones
     pay = jnp.stack(
         [ones, x, y, z,
@@ -159,9 +160,81 @@ def voxel_stats(
         axis=-1,
     )
     acc = jax.ops.segment_sum(pay, seg, num_segments=nseg)[:capacity]
-    count = acc[:, 0]
-    sums = acc[:, 1:4]
-    o = acc[:, 4:10]  # xx xy xz yy yz zz
+    N = seg.shape[0]
+    pos = jnp.arange(N, dtype=jnp.int32)
+    first_pos = (
+        jnp.full((nseg,), N, jnp.int32).at[seg].min(pos, mode="drop")[:capacity]
+    )
+    coord_rep = coords[jnp.minimum(first_pos, N - 1)]
+    return coord_rep, acc
+
+
+def partial_voxel_stats(
+    cloud: PointCloud, leaf_size, capacity: int
+) -> PartialVoxelStats:
+    """Bin a cloud's moments per voxel (no finalization — see
+    :class:`PartialVoxelStats`)."""
+    inv_leaf = 1.0 / jnp.asarray(leaf_size, dtype=cloud.xyz.dtype)
+    key_a, key_b, xyz, _, valid, coords = _sort_by_voxel(cloud, inv_leaf)
+    seg, used = segment_ids_from_sorted_keys(key_a, key_b, valid, capacity)
+    coord_rep, acc = _segment_moments(xyz, valid, coords, seg, capacity)
+    occupied = acc[:, 0] > 0
+    int_max = jnp.iinfo(jnp.int32).max
+    return PartialVoxelStats(
+        coords=jnp.where(occupied[:, None], coord_rep, int_max),
+        moments=jnp.where(occupied[:, None], acc, 0.0),
+        n_dropped=jnp.maximum(used - capacity, 0),
+    )
+
+
+def merge_partial_stats(
+    coords: jnp.ndarray, moments: jnp.ndarray, capacity: int
+) -> PartialVoxelStats:
+    """Merge stacked partial tables ``coords[K, P, 3]`` / ``moments[K, P, 10]``
+    into one deduplicated table of ``capacity`` voxels (moments of shared
+    voxels add). One sort of K*P keyed rows + one fused scatter-add —
+    typically ~10x fewer rows than re-binning the underlying points."""
+    from ..core.voxel import pack_keys
+
+    flat_c = coords.reshape(-1, 3)
+    flat_m = moments.reshape(-1, 10)
+    valid = flat_c[:, 0] != jnp.iinfo(jnp.int32).max
+    key_a, key_b = pack_keys(flat_c, valid)
+    n = flat_c.shape[0]
+    key_a, key_b, perm = jax.lax.sort(
+        (key_a, key_b, jnp.arange(n, dtype=jnp.int32)), num_keys=2
+    )
+    svalid = key_a != jnp.iinfo(jnp.int32).max
+    seg, used = segment_ids_from_sorted_keys(key_a, key_b, svalid, capacity)
+    m_sorted = flat_m[perm] * svalid[:, None]
+    c_sorted = flat_c[perm]
+    nseg = capacity + 1
+    acc = jax.ops.segment_sum(m_sorted, seg, num_segments=nseg)[:capacity]
+    pos = jnp.arange(n, dtype=jnp.int32)
+    first_pos = (
+        jnp.full((nseg,), n, jnp.int32).at[seg].min(pos, mode="drop")[:capacity]
+    )
+    coord_rep = c_sorted[jnp.minimum(first_pos, n - 1)]
+    occupied = first_pos < n
+    return PartialVoxelStats(
+        coords=jnp.where(occupied[:, None], coord_rep, jnp.iinfo(jnp.int32).max),
+        moments=jnp.where(occupied[:, None], acc, 0.0),
+        n_dropped=jnp.maximum(used - capacity, 0),
+    )
+
+
+def finalize_voxel_stats(
+    p: PartialVoxelStats, min_points: int = 6, min_eig_ratio: float = 0.01
+) -> VoxelStats:
+    """Moments -> Gaussian leaves (mean, regularized cov/inv_cov).
+
+    Covariance follows the VoxelGridCovariance estimator: population moment
+    scaled by (n-1)/n, i.e. ``cov = (E[xx^T] - mu mu^T) * (n-1)/n``. Voxels
+    with fewer than ``min_points`` points are flagged invalid (PCL default 6).
+    """
+    count = p.moments[:, 0]
+    sums = p.moments[:, 1:4]
+    o = p.moments[:, 4:10]  # xx xy xz yy yz zz
     outer_sum = jnp.stack(
         [
             jnp.stack([o[:, 0], o[:, 1], o[:, 2]], axis=-1),
@@ -170,16 +243,6 @@ def voxel_stats(
         ],
         axis=-2,
     )
-    # representative integer coordinate per segment: rows are sorted, so the
-    # segment's FIRST row has them — one narrow i32 scatter-min of the row
-    # position, then a gather (replaces a 3-channel segment_max)
-    N = seg.shape[0]
-    pos = jnp.arange(N, dtype=jnp.int32)
-    first_pos = (
-        jnp.full((nseg,), N, jnp.int32).at[seg].min(pos, mode="drop")[:capacity]
-    )
-    coord_rep = coords[jnp.minimum(first_pos, N - 1)]
-
     occupied = count >= float(min_points)
     n = jnp.maximum(count, 1.0)
     mean = sums / n[:, None]
@@ -191,11 +254,26 @@ def voxel_stats(
 
     int_max = jnp.iinfo(jnp.int32).max
     return VoxelStats(
-        coords=jnp.where(occupied[:, None], coord_rep, int_max),
+        coords=jnp.where(occupied[:, None], p.coords, int_max),
         mean=jnp.where(occupied[:, None], mean, PAD_COORD),
         cov=cov_reg,
         inv_cov=jnp.where(occupied[:, None, None], inv_cov, 0.0),
         count=count,
         valid=occupied,
-        n_dropped=jnp.maximum(used - capacity, 0),
+        n_dropped=p.n_dropped,
+    )
+
+
+def voxel_stats(
+    cloud: PointCloud,
+    leaf_size,
+    capacity: int,
+    min_points: int = 6,
+    min_eig_ratio: float = 0.01,
+) -> VoxelStats:
+    """Mean + regularized covariance per occupied voxel (bin + finalize)."""
+    return finalize_voxel_stats(
+        partial_voxel_stats(cloud, leaf_size, capacity),
+        min_points=min_points,
+        min_eig_ratio=min_eig_ratio,
     )
