@@ -235,14 +235,15 @@ def ndt_build_target_from_partials(
     assert not cfg.compute_fitness, "stats-ring targets cannot compute fitness"
     assert len(partials) == 1 + len(cfg.coarse_resolutions)
     ndt = ndt_ops.build_ndt_target_from_stats(
-        finalize_voxel_stats(partials[0], min_points=cfg.min_points_per_voxel),
+        finalize_voxel_stats(partials[0], cfg.resolution,
+                             min_points=cfg.min_points_per_voxel),
         cfg.resolution,
         outlier_ratio=cfg.outlier_ratio,
         dilation_factor=cfg.dilation_factor,
     )
     coarse = tuple(
         ndt_ops.build_ndt_target_from_stats(
-            finalize_voxel_stats(p, min_points=cfg.min_points_per_voxel),
+            finalize_voxel_stats(p, r, min_points=cfg.min_points_per_voxel),
             r,
             outlier_ratio=cfg.outlier_ratio,
             dilation_factor=cfg.dilation_factor,
@@ -346,6 +347,7 @@ def gicp_build_target_from_stats(cfg: GICPConfig, partial_stats) -> GICPTargetSt
     dist = gicp_ops.build_gicp_target_from_stats(
         finalize_voxel_stats(
             partial_stats,
+            cfg.voxel_resolution,
             min_points=cfg.min_points_per_voxel,
             min_eig_ratio=1e-3,
         ),

@@ -68,20 +68,34 @@ def voxel_downsample_counted(cloud: PointCloud, leaf_size, capacity: int):
     fixed-shape failure mode — callers surface this in per-scan diagnostics.
     """
     inv_leaf = 1.0 / jnp.asarray(leaf_size, dtype=cloud.xyz.dtype)
-    key_a, key_b, xyz, inten, valid, _ = _sort_by_voxel(cloud, inv_leaf)
+    key_a, key_b, xyz, inten, valid, coords = _sort_by_voxel(cloud, inv_leaf)
     seg, used = segment_ids_from_sorted_keys(key_a, key_b, valid, capacity)
     n_dropped = jnp.maximum(used - capacity, 0)
     nseg = capacity + 1  # last segment collects invalid/overflow rows
     ones = valid.astype(xyz.dtype)
-    # one fused [N,5] scatter-add (count, xyz sum, intensity sum)
+    # one fused [N,5] scatter-add (count, voxel-center-relative xyz sum,
+    # intensity sum) — center-relative sums keep centroid precision
+    # independent of the map's distance from the origin (see
+    # PartialVoxelStats)
+    dxyz = xyz - voxel_centers(coords, leaf_size)
     pay = jnp.concatenate(
-        [ones[:, None], xyz * ones[:, None], (inten * ones)[:, None]], axis=-1
+        [ones[:, None], dxyz * ones[:, None], (inten * ones)[:, None]], axis=-1
     )
     acc = jax.ops.segment_sum(pay, seg, num_segments=nseg)[:capacity]
     count, sums, isum = acc[:, 0], acc[:, 1:4], acc[:, 4]
+    N = seg.shape[0]
+    pos = jnp.arange(N, dtype=jnp.int32)
+    first_pos = (
+        jnp.full((nseg,), N, jnp.int32).at[seg].min(pos, mode="drop")[:capacity]
+    )
+    coord_rep = coords[jnp.minimum(first_pos, N - 1)]
     occupied = count > 0
     denom = jnp.maximum(count, 1.0)
-    centroid = jnp.where(occupied[:, None], sums / denom[:, None], PAD_COORD)
+    centroid = jnp.where(
+        occupied[:, None],
+        voxel_centers(coord_rep, leaf_size) + sums / denom[:, None],
+        PAD_COORD,
+    )
     out = PointCloud(
         xyz=centroid,
         intensity=jnp.where(occupied, isum / denom, 0.0),
@@ -133,10 +147,16 @@ def regularize_covariance(cov: jnp.ndarray, min_eig_ratio: float = 0.01):
 class PartialVoxelStats(NamedTuple):
     """Additive per-voxel moments — the mergeable half of the NDT model.
 
-    ``moments[:, 0]`` = count, ``[:, 1:4]`` = sum(xyz), ``[:, 4:10]`` =
-    upper-triangular outer-product sums (xx xy xz yy yz zz). Moments of the
-    SAME world voxel from different clouds add exactly, so a keyframe-window
-    target can be built by merging K tiny per-keyframe tables instead of
+    ``moments[:, 0]`` = count, ``[:, 1:4]`` = sum(x - c), ``[:, 4:10]`` =
+    upper-triangular outer-product sums of (x - c), where ``c`` is the
+    point's VOXEL CENTER. Accumulating about the voxel center keeps every
+    moment O(voxel_size^2) regardless of how far the map is from the
+    origin: the naive ``E[xx] - mu mu`` form loses ~|x|^2 * eps_f32 to
+    cancellation (at multi-km trajectories that exceeds the covariance
+    itself — PCL dodges this with double accumulators; this is the f32
+    TPU-native equivalent). Moments of the SAME world voxel from different
+    clouds share the center and add exactly, so a keyframe-window target
+    can be built by merging K tiny per-keyframe tables instead of
     re-binning K x C raw points every rebuild (see frontend keyframe ring).
     """
 
@@ -145,18 +165,18 @@ class PartialVoxelStats(NamedTuple):
     n_dropped: jnp.ndarray  # i32
 
 
-def _segment_moments(xyz, valid, coords, seg, capacity):
+def _segment_moments(dxyz, valid, coords, seg, capacity):
     """Fused [N,10] moment scatter-add + first-row coord gather over
     pre-sorted segments (ONE wide scatter-add + ONE narrow scatter-min —
     TPU scatter cost scales with the number of scatter ops far more than
     with row width, and the full 3x3 outer is redundant)."""
     nseg = capacity + 1
-    ones = valid.astype(xyz.dtype)
-    x, y, z = xyz[:, 0] * ones, xyz[:, 1] * ones, xyz[:, 2] * ones
+    ones = valid.astype(dxyz.dtype)
+    x, y, z = dxyz[:, 0] * ones, dxyz[:, 1] * ones, dxyz[:, 2] * ones
     pay = jnp.stack(
         [ones, x, y, z,
-         x * xyz[:, 0], x * xyz[:, 1], x * xyz[:, 2],
-         y * xyz[:, 1], y * xyz[:, 2], z * xyz[:, 2]],
+         x * dxyz[:, 0], x * dxyz[:, 1], x * dxyz[:, 2],
+         y * dxyz[:, 1], y * dxyz[:, 2], z * dxyz[:, 2]],
         axis=-1,
     )
     acc = jax.ops.segment_sum(pay, seg, num_segments=nseg)[:capacity]
@@ -169,15 +189,22 @@ def _segment_moments(xyz, valid, coords, seg, capacity):
     return coord_rep, acc
 
 
+def voxel_centers(coords: jnp.ndarray, leaf_size) -> jnp.ndarray:
+    """World-space center of each integer voxel coordinate."""
+    leaf = jnp.asarray(leaf_size, jnp.float32)
+    return (coords.astype(jnp.float32) + 0.5) * leaf
+
+
 def partial_voxel_stats(
     cloud: PointCloud, leaf_size, capacity: int
 ) -> PartialVoxelStats:
-    """Bin a cloud's moments per voxel (no finalization — see
-    :class:`PartialVoxelStats`)."""
+    """Bin a cloud's voxel-center-relative moments per voxel (no
+    finalization — see :class:`PartialVoxelStats`)."""
     inv_leaf = 1.0 / jnp.asarray(leaf_size, dtype=cloud.xyz.dtype)
     key_a, key_b, xyz, _, valid, coords = _sort_by_voxel(cloud, inv_leaf)
     seg, used = segment_ids_from_sorted_keys(key_a, key_b, valid, capacity)
-    coord_rep, acc = _segment_moments(xyz, valid, coords, seg, capacity)
+    dxyz = xyz - voxel_centers(coords, leaf_size)
+    coord_rep, acc = _segment_moments(dxyz, valid, coords, seg, capacity)
     occupied = acc[:, 0] > 0
     int_max = jnp.iinfo(jnp.int32).max
     return PartialVoxelStats(
@@ -224,13 +251,17 @@ def merge_partial_stats(
 
 
 def finalize_voxel_stats(
-    p: PartialVoxelStats, min_points: int = 6, min_eig_ratio: float = 0.01
+    p: PartialVoxelStats,
+    leaf_size,
+    min_points: int = 6,
+    min_eig_ratio: float = 0.01,
 ) -> VoxelStats:
     """Moments -> Gaussian leaves (mean, regularized cov/inv_cov).
 
     Covariance follows the VoxelGridCovariance estimator: population moment
-    scaled by (n-1)/n, i.e. ``cov = (E[xx^T] - mu mu^T) * (n-1)/n``. Voxels
-    with fewer than ``min_points`` points are flagged invalid (PCL default 6).
+    scaled by (n-1)/n, i.e. ``cov = (E[dd^T] - mu_d mu_d^T) * (n-1)/n``
+    (shift-invariant — the moments are voxel-center-relative). Voxels with
+    fewer than ``min_points`` points are flagged invalid (PCL default 6).
     """
     count = p.moments[:, 0]
     sums = p.moments[:, 1:4]
@@ -245,8 +276,11 @@ def finalize_voxel_stats(
     )
     occupied = count >= float(min_points)
     n = jnp.maximum(count, 1.0)
-    mean = sums / n[:, None]
-    cov_pop = outer_sum / n[:, None, None] - mean[:, :, None] * mean[:, None, :]
+    mean_d = sums / n[:, None]  # voxel-center-relative
+    mean = voxel_centers(p.coords, leaf_size) + mean_d
+    cov_pop = (
+        outer_sum / n[:, None, None] - mean_d[:, :, None] * mean_d[:, None, :]
+    )
     cov = cov_pop * ((n - 1.0) / n)[:, None, None]
     # guard the eigensolver against empty voxels
     safe_cov = jnp.where(occupied[:, None, None], cov, jnp.eye(3, dtype=cov.dtype))
@@ -274,6 +308,7 @@ def voxel_stats(
     """Mean + regularized covariance per occupied voxel (bin + finalize)."""
     return finalize_voxel_stats(
         partial_voxel_stats(cloud, leaf_size, capacity),
+        leaf_size,
         min_points=min_points,
         min_eig_ratio=min_eig_ratio,
     )

@@ -46,7 +46,7 @@ def test_merge_partials_equals_direct_stats():
 
     from lidarslam_ros2_tpu.ops.voxelize import finalize_voxel_stats
 
-    fm = finalize_voxel_stats(merged)
+    fm = finalize_voxel_stats(merged, 4.0)
     ref = by_coord(both.coords, np.asarray(both.mean), np.asarray(both.valid))
     got = by_coord(fm.coords, np.asarray(fm.mean), np.asarray(fm.valid))
     assert set(ref) == set(got)
@@ -99,3 +99,35 @@ def test_frontend_stats_ring_matches_window_build(method):
     np.testing.assert_allclose(
         p_stats[:, :3, 3], p_window[:, :3, 3], atol=2e-3
     )
+
+
+def test_far_from_origin_covariance_precision():
+    """Multi-km maps: voxel-center-relative moments keep covariances exact
+    where the naive E[xx]-mumu form loses them entirely to f32
+    cancellation (|x|^2 * eps ~ 0.5 at x=2 km — larger than the cov)."""
+    rng = np.random.default_rng(8)
+    local = rng.normal(scale=0.4, size=(512, 3)).astype(np.float32)
+    far = np.float32([2000.0, -1500.0, 30.0])
+
+    def cov_of(points):
+        st = voxel_stats(PointCloud.from_numpy(points, 512), 4.0, 64,
+                         min_points=6)
+        v = np.asarray(st.valid)
+        # single dominant voxel: take the most populated one
+        k = int(np.asarray(st.count).argmax())
+        assert v[k]
+        return np.asarray(st.cov)[k], np.asarray(st.mean)[k]
+
+    c_near, m_near = cov_of(local)
+    c_far, m_far = cov_of(local + far)
+    # the far cloud straddles different voxel boundaries, so compare against
+    # a float64 oracle per voxel instead of near-vs-far directly
+    pts64 = (local + far).astype(np.float64)
+    coords = np.floor(pts64 / 4.0).astype(np.int64)
+    uniq, counts = np.unique(coords, axis=0, return_counts=True)
+    c0 = uniq[counts.argmax()]
+    sel = (coords == c0).all(axis=1)
+    ref_cov = np.cov(pts64[sel].T, bias=False) * (sel.sum() - 1) / sel.sum()
+    ref_mean = pts64[sel].mean(axis=0)
+    np.testing.assert_allclose(m_far, ref_mean, atol=1e-3)
+    np.testing.assert_allclose(c_far, ref_cov, atol=5e-3)
