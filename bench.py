@@ -309,39 +309,19 @@ def _bench_ate_parity():
     both ATEs and their ratio."""
     import numpy as np
 
-    from lidarslam_ros2_tpu.models.registration import NDTConfig
-    from lidarslam_ros2_tpu.odometry.frontend import FrontendConfig, ScanMatcher
+    from lidarslam_ros2_tpu.odometry.frontend import ScanMatcher
     from lidarslam_ros2_tpu.utils import cpu_slam
-    from lidarslam_ros2_tpu.utils.synthetic import (
-        VLP16, World, circle_trajectory, simulate_scan,
-    )
 
     if not cpu_slam.available():
         return {"skipped": "native ndt_cpu unavailable"}
-    N = 34  # 1/3 of the full_slam course: 8.5 m travel, 127 deg rotation
-    world = World(seed=7)
-    gt = circle_trajectory(97, radius=4.0)[:N]
-    scans = [
-        simulate_scan(world, gt[k], VLP16, noise=0.01, seed=100 + k)
-        for k in range(N)
-    ]
-    fcfg = FrontendConfig(
-        ndt=NDTConfig(resolution=2.0, coarse_resolutions=(4.0,),
-                      voxel_capacity=16384, max_iterations=30,
-                      compute_fitness=False),
-        trans_for_mapupdate=1.0, vg_size_for_input=0.2, vg_size_for_map=0.1,
-        num_targeted_cloud=10, scan_capacity=32768, input_capacity=16384,
-        keyframe_capacity=16384,
-    )
+    # course + matched configs shared with tests/test_ate_parity.py
+    scans, gt, fcfg, cpu_kwargs = cpu_slam.parity_setup()
+    N = len(scans)  # 1/3 of the full_slam course: 8.5 m, 127 deg rotation
     sm = ScanMatcher(fcfg, initial_pose=gt[0])
     for k, s in enumerate(scans):
         sm.process_scan(s, stamp=0.1 * k)
     sm.flush_map_update()
-    cpu = cpu_slam.CpuOdometry(
-        resolution=2.0, coarse_resolutions=(4.0,), trans_for_mapupdate=1.0,
-        vg_size_for_input=0.2, vg_size_for_map=0.1, num_targeted_cloud=10,
-        max_iterations=30, initial_pose=gt[0],
-    )
+    cpu = cpu_slam.CpuOdometry(initial_pose=gt[0], **cpu_kwargs)
     for s in scans:
         cpu.process_scan(s)
     gt_arr = np.stack(gt)
@@ -432,6 +412,18 @@ def main():
         # records where its wall clock went
         print(f"[bench +{time.monotonic() - t_start:6.1f}s] {msg}",
               file=sys.stderr, flush=True)
+
+    # bootstrap record FIRST: if the remote-TPU relay is unreachable the
+    # process can hang inside the first dispatch and the driver sees rc=124
+    # with no parseable output at all — this line documents why. It is
+    # superseded by the real headline emit (the driver parses the LAST line).
+    print(json.dumps({
+        "metric": "vlp32_scan_to_submap_ndt_gn_iteration_latency",
+        "value": None, "unit": "ms/iter", "vs_baseline": None,
+        "detail": {"error": "bench started but never reached the headline "
+                            "measurement (TPU relay unreachable or compile "
+                            "stalled) — see stderr stamps"},
+    }), flush=True)
 
     import jax
     import jax.numpy as jnp

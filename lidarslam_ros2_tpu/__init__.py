@@ -25,9 +25,14 @@ _jax.config.update("jax_default_matmul_precision", "highest")
 import os as _os
 import tempfile as _tempfile
 
+# per-user path: a fixed predictable /tmp name would be shared across
+# users (permission failures, and loading compiled executables from a
+# directory another local user controls)
 _cache_dir = _os.environ.get(
     "LIDARSLAM_JAX_CACHE",
-    _os.path.join(_tempfile.gettempdir(), "lidarslam_jax_cache"),
+    _os.path.join(
+        _tempfile.gettempdir(), f"lidarslam_jax_cache_{_os.getuid()}"
+    ),
 )
 if _cache_dir and not _jax.config.jax_compilation_cache_dir:
     _jax.config.update("jax_compilation_cache_dir", _cache_dir)

@@ -75,40 +75,6 @@ def segment_ids_from_sorted_keys(
     return seg, used
 
 
-def unique_coords(
-    coords: jnp.ndarray, valid: jnp.ndarray, capacity: int
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Deduplicate integer voxel coords into a padded unique set.
-
-    Returns (unique i32[capacity,3] — INT32_MAX pad, uvalid bool[capacity],
-    n_dropped i32). One lexicographic sort + segment reduction; used to
-    build the DIRECT-K dilated cell set for fat-row NDT targets.
-    """
-    key_a, key_b = pack_keys(coords, valid)
-    key_a, key_b, cx, cy, cz = jax.lax.sort(
-        (key_a, key_b, coords[..., 0], coords[..., 1], coords[..., 2]),
-        num_keys=2,
-    )
-    svalid = key_a != INT32_MAX
-    seg, used = segment_ids_from_sorted_keys(key_a, key_b, svalid, capacity)
-    # sorted rows: segment's first row carries the coords — one narrow i32
-    # scatter-min + gather instead of 3x segment_max + segment_sum
-    n = seg.shape[0]
-    pos = jnp.arange(n, dtype=jnp.int32)
-    first_pos = (
-        jnp.full((capacity + 1,), n, jnp.int32)
-        .at[seg].min(pos, mode="drop")[:capacity]
-    )
-    uvalid = first_pos < n
-    safe = jnp.minimum(first_pos, n - 1)
-    rep = jnp.where(
-        uvalid[:, None],
-        jnp.stack([cx[safe], cy[safe], cz[safe]], axis=-1),
-        INT32_MAX,
-    )
-    return rep, uvalid, jnp.maximum(used - capacity, 0)
-
-
 def hash_channels(
     cx: jnp.ndarray, cy: jnp.ndarray, cz: jnp.ndarray, table_size: int
 ) -> jnp.ndarray:

@@ -79,9 +79,11 @@ class FrontendConfig:
     input_capacity: int = 16384  # after vg_size_for_input downsample
     keyframe_capacity: int = 16384  # keyframe cloud at vg_size_for_map
     # per-keyframe partial NDT/GICP voxel-moment table size (per pyramid
-    # level). A keyframe cloud occupies a few hundred voxels at typical
-    # registration resolutions; 2048 gives ample headroom (overflow counted)
-    keyframe_stats_capacity: int = 2048
+    # level). A long-range outdoor keyframe can occupy several thousand
+    # voxels at a 1-2 m registration resolution (bounded above by the
+    # keyframe point count); overflow fires the keyframe_stat_voxels_dropped
+    # counter. Sizing guide: docs/PARAMETERS.md.
+    keyframe_stats_capacity: int = 4096
 
     def reg_cfg(self):
         return self.ndt if self.registration_method == "NDT" else self.gicp
@@ -489,7 +491,14 @@ class ScanMatcher:
         pend, stamp, pose_np, fut = self._pending
         if not block and not fut.done():
             return False
-        cloud_np, distance, overflow = fut.result()
+        try:
+            cloud_np, distance, overflow = fut.result()
+        except Exception:
+            # a failed prefetch (device fault, relay hiccup) must not wedge
+            # the scan path forever: drop the in-flight integration so the
+            # next keyframe trigger can dispatch a fresh one, then surface
+            self._pending = None
+            raise
         self.state = pend._replace(
             pose=self.state.pose,
             trans=self.state.trans,

@@ -142,6 +142,45 @@ class CpuOdometry:
         return np.stack(self.path) if self.path else np.zeros((0, 4, 4))
 
 
+def parity_setup(n_scans: int = 34):
+    """Shared course + MATCHED configurations for the TPU-vs-CPU ATE parity
+    check — tests/test_ate_parity.py and bench.py's ``ate_parity`` section
+    must measure the same thing, so both build from here.
+
+    Returns ``(scans, gt, fcfg, cpu_kwargs)``. ``async_map_update`` is off:
+    adoption timing would otherwise make the trajectory host-load-dependent.
+    """
+    from ..models.registration import NDTConfig
+    from ..odometry.frontend import FrontendConfig
+    from .synthetic import VLP16, World, circle_trajectory, simulate_scan
+
+    world = World(seed=7)
+    gt = circle_trajectory(97, radius=4.0)[:n_scans]  # bench full_slam course
+    scans = [
+        simulate_scan(world, gt[k], VLP16, noise=0.01, seed=100 + k)
+        for k in range(n_scans)
+    ]
+    fcfg = FrontendConfig(
+        ndt=NDTConfig(resolution=2.0, coarse_resolutions=(4.0,),
+                      voxel_capacity=16384, max_iterations=30,
+                      compute_fitness=False),
+        trans_for_mapupdate=1.0,
+        vg_size_for_input=0.2,
+        vg_size_for_map=0.1,
+        num_targeted_cloud=10,
+        scan_capacity=32768,
+        input_capacity=16384,
+        keyframe_capacity=16384,
+        async_map_update=False,
+    )
+    cpu_kwargs = dict(
+        resolution=2.0, coarse_resolutions=(4.0,), trans_for_mapupdate=1.0,
+        vg_size_for_input=0.2, vg_size_for_map=0.1, num_targeted_cloud=10,
+        max_iterations=30,
+    )
+    return scans, gt, fcfg, cpu_kwargs
+
+
 def ate_rmse(path: np.ndarray, gt: np.ndarray) -> float:
     """Absolute trajectory error RMSE over positions (both trajectories
     share the same initial pose — no alignment step needed)."""

@@ -29,6 +29,7 @@ class StageTimer:
     def __init__(self, max_samples: int = 100_000) -> None:
         self.samples: Dict[str, list] = defaultdict(list)
         self.counts: Dict[str, int] = defaultdict(int)
+        self.totals: Dict[str, float] = defaultdict(float)  # ALL samples
         self.max_samples = max_samples
 
     @contextlib.contextmanager
@@ -45,6 +46,7 @@ class StageTimer:
             if len(buf) > self.max_samples:
                 del buf[: len(buf) - self.max_samples]
             self.counts[name] += 1
+            self.totals[name] += dt
 
     def summary(self) -> Dict[str, Dict[str, float]]:
         import numpy as np
@@ -54,10 +56,13 @@ class StageTimer:
             s = np.asarray(self.samples[name])
             if s.size == 0:
                 continue
+            n = self.counts[name]
+            # totals/mean cover ALL samples; percentiles cover the newest
+            # max_samples window (consistent even after trimming)
             out[name] = {
-                "count": self.counts[name],
-                "total_s": round(float(s.sum()), 6),
-                "mean_ms": round(1000.0 * float(s.mean()), 3),
+                "count": n,
+                "total_s": round(self.totals[name], 6),
+                "mean_ms": round(1000.0 * self.totals[name] / max(n, 1), 3),
                 "p50_ms": round(1000.0 * float(np.percentile(s, 50)), 3),
                 "p99_ms": round(1000.0 * float(np.percentile(s, 99)), 3),
                 "max_ms": round(1000.0 * float(s.max()), 3),
@@ -70,6 +75,7 @@ class StageTimer:
     def reset(self) -> None:
         self.samples.clear()
         self.counts.clear()
+        self.totals.clear()
 
 
 @contextlib.contextmanager

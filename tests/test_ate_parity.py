@@ -6,53 +6,27 @@ scanmatcher_component.cpp:350-376).
 Both stacks replay the same synthetic circle course with the same
 parameters (previous-pose seeding, coarse-to-fine pyramid, distance-gated
 keyframe window) and must land within tolerance of each other against
-ground truth."""
+ground truth. Course + configs come from ``cpu_slam.parity_setup`` so the
+bench's ``ate_parity`` section measures exactly what this test gates."""
 
 import numpy as np
 import pytest
 
-from lidarslam_ros2_tpu.models.registration import NDTConfig
-from lidarslam_ros2_tpu.odometry.frontend import FrontendConfig, ScanMatcher
+from lidarslam_ros2_tpu.odometry.frontend import ScanMatcher
 from lidarslam_ros2_tpu.utils import cpu_slam
-from lidarslam_ros2_tpu.utils.synthetic import (
-    VLP16, World, circle_trajectory, simulate_scan,
-)
-
-N_SCANS = 34  # ~1/3 of the bench course: 8.5 m travel, 127 deg of rotation
 
 
 @pytest.mark.skipif(not cpu_slam.available(), reason="native ndt_cpu missing")
 def test_cpu_jax_frontend_ate_parity():
-    world = World(seed=7)
-    gt = circle_trajectory(97, radius=4.0)[:N_SCANS]  # bench full_slam course
-    scans = [
-        simulate_scan(world, gt[k], VLP16, noise=0.01, seed=100 + k)
-        for k in range(N_SCANS)
-    ]
+    scans, gt, fcfg, cpu_kwargs = cpu_slam.parity_setup()
 
-    fcfg = FrontendConfig(
-        ndt=NDTConfig(resolution=2.0, coarse_resolutions=(4.0,),
-                      voxel_capacity=16384, max_iterations=30,
-                      compute_fitness=False),
-        trans_for_mapupdate=1.0,
-        vg_size_for_input=0.2,
-        vg_size_for_map=0.1,
-        num_targeted_cloud=10,
-        scan_capacity=32768,
-        input_capacity=16384,
-        keyframe_capacity=16384,
-    )
     sm = ScanMatcher(fcfg, initial_pose=gt[0])
     for k, scan in enumerate(scans):
         sm.process_scan(scan, stamp=0.1 * k)
     sm.flush_map_update()
     jax_path = sm.get_path()
 
-    cpu = cpu_slam.CpuOdometry(
-        resolution=2.0, coarse_resolutions=(4.0,), trans_for_mapupdate=1.0,
-        vg_size_for_input=0.2, vg_size_for_map=0.1, num_targeted_cloud=10,
-        max_iterations=30, initial_pose=gt[0],
-    )
+    cpu = cpu_slam.CpuOdometry(initial_pose=gt[0], **cpu_kwargs)
     for scan in scans:
         cpu.process_scan(scan)
     cpu_path = cpu.get_path()
