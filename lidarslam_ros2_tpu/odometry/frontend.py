@@ -447,6 +447,8 @@ class ScanMatcher:
                 "target_voxels_dropped": 0,
                 "hash_slots_unplaced": 0,
                 "dilated_voxels_dropped": 0,
+                "fat_slots_unplaced": 0,
+                "keyframe_stat_voxels_dropped": 0,
             },
         }
 

@@ -107,3 +107,39 @@ def test_frontend_initial_pose_offset():
     scan = simulate_scan(world, T0, VLP16, noise=0.01)
     r = sm.process_scan(scan, stamp=0.0)
     np.testing.assert_allclose(r["pose"][:3, 3], T0[:3, 3], atol=0.05)
+
+
+def test_frontend_survives_empty_and_tiny_scans():
+    """Sensor dropouts: an empty or near-empty scan must not NaN the pose
+    or corrupt the keyframe ring (reference behavior: registration simply
+    fails to converge and the pose carries over)."""
+    from lidarslam_ros2_tpu.models.registration import NDTConfig
+    from lidarslam_ros2_tpu.odometry.frontend import FrontendConfig, ScanMatcher
+    from lidarslam_ros2_tpu.utils.synthetic import (
+        VLP16, World, line_trajectory, simulate_scan,
+    )
+
+    world = World(seed=11)
+    gt = line_trajectory(4, step=0.4)
+    cfg = FrontendConfig(
+        ndt=NDTConfig(resolution=2.0, voxel_capacity=4096, max_iterations=10,
+                      compute_fitness=False),
+        trans_for_mapupdate=1.0, vg_size_for_input=0.3, vg_size_for_map=0.15,
+        num_targeted_cloud=3, scan_capacity=16384, input_capacity=4096,
+        keyframe_capacity=4096, async_map_update=False,
+    )
+    sm = ScanMatcher(cfg, initial_pose=gt[0])
+    r0 = sm.process_scan(simulate_scan(world, gt[0], VLP16, seed=0), stamp=0.0)
+    pose_before = r0["pose"]
+
+    r_empty = sm.process_scan(np.zeros((0, 3), np.float32), stamp=0.1)
+    assert np.isfinite(r_empty["pose"]).all()
+    np.testing.assert_allclose(r_empty["pose"], pose_before, atol=1e-5)
+
+    r_tiny = sm.process_scan(np.asarray([[1.0, 2.0, 1.5]], np.float32), stamp=0.2)
+    assert np.isfinite(r_tiny["pose"]).all()
+
+    # pipeline recovers on the next real scan
+    r2 = sm.process_scan(simulate_scan(world, gt[1], VLP16, seed=1), stamp=0.3)
+    assert np.isfinite(r2["pose"]).all() and r2["converged"]
+    np.testing.assert_allclose(r2["pose"][:3, 3], gt[1][:3, 3], atol=0.15)
