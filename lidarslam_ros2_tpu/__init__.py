@@ -28,10 +28,31 @@ import tempfile as _tempfile
 # per-user path: a fixed predictable /tmp name would be shared across
 # users (permission failures, and loading compiled executables from a
 # directory another local user controls)
+
+
+def _host_fingerprint() -> str:
+    """Hash of the host CPU feature set. XLA:CPU persists AOT executables
+    compiled for the *build* machine's features; loading them on a host
+    with a different feature set (e.g. /tmp surviving a migration to
+    another machine type) warns and then SIGSEGVs/SIGILLs. Keying the
+    cache dir by the feature flags gives each machine type its own cache."""
+    try:
+        import hashlib
+
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    return hashlib.md5(line.encode()).hexdigest()[:10]
+    except OSError:
+        pass
+    return "generic"
+
+
 _cache_dir = _os.environ.get(
     "LIDARSLAM_JAX_CACHE",
     _os.path.join(
-        _tempfile.gettempdir(), f"lidarslam_jax_cache_{_os.getuid()}"
+        _tempfile.gettempdir(),
+        f"lidarslam_jax_cache_{_os.getuid()}_{_host_fingerprint()}",
     ),
 )
 if _cache_dir and not _jax.config.jax_compilation_cache_dir:

@@ -2,8 +2,12 @@
 
 Equivalent of the reference's composed executable (lidarslam/src/lidarslam.cpp:
 both components in one process, MultiThreadedExecutor + intra-process comms).
-The dataflow stays one-way — backend corrections are never fed back to the
-frontend (SURVEY.md section 1), matching the reference exactly.
+By default the dataflow stays one-way — backend corrections are never fed back
+to the frontend (SURVEY.md section 1), matching the reference exactly. Pass
+``use_modified_map=True`` to enable the li_slam-style feedback consumer (the
+reference publishes ``modified_map_array`` for its sibling li_slam_ros2,
+README.md:174-176): the scan matcher then re-anchors its pose/keyframe window
+from each backend correction.
 """
 
 from __future__ import annotations

@@ -40,6 +40,7 @@ class ScanMatcherNode:
         publish_tf: bool = True,
         debug_flag: bool = False,
         tf_buffer: Optional[TransformBuffer] = None,
+        use_modified_map: bool = False,
     ):
         self.bus = bus
         self.cfg = cfg
@@ -63,6 +64,19 @@ class ScanMatcherNode:
         bus.subscribe("input_cloud", self._on_cloud)
         bus.subscribe("imu", self._on_imu)
         bus.subscribe("initial_pose", self._on_initial_pose)
+        # li_slam-style pose-correction feedback (the reference publishes
+        # modified_map_array for its sibling li_slam_ros2, README.md:174-176;
+        # with use_modified_map the loop is closed here too). The callback may
+        # fire on the backend worker thread, so it only stores the latest
+        # correction (KeepLast(1)); the scan thread applies it at the top of
+        # the next scan callback — no locks on the engine.
+        self.use_modified_map = use_modified_map
+        self._pending_correction = None
+        if use_modified_map:
+            bus.subscribe("modified_map_array", self._on_modified_map)
+
+    def _on_modified_map(self, msg) -> None:
+        self._pending_correction = msg
 
     # -- callbacks (reference initializePubSub, :157-260) ---------------------
     def _on_initial_pose(self, msg: PoseStamped) -> None:
@@ -91,6 +105,9 @@ class ScanMatcherNode:
         if not self._initial_pose_received:
             print("initial_pose is not received")
             return
+        if self._pending_correction is not None:
+            corrected, self._pending_correction = self._pending_correction, None
+            self.engine.adopt_correction(corrected)
         stamp = msg["stamp"]
         points = msg["points"]
         frame = msg.get("frame_id")

@@ -328,6 +328,37 @@ def keyframe_update(
     return build_target_from_ring(cfg, insert_keyframe(cfg, state, filtered_raw))
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def rebuild_stats_ring(cfg: FrontendConfig, state: FrontendState) -> FrontendState:
+    """Recompute every slot's world-frame voxel-moment tables from its LOCAL
+    cloud and its (possibly corrected) ring pose.
+
+    Needed by the pose-correction feedback path: the stats ring freezes poses
+    at insert time, so a backend graph correction invalidates the stored
+    world-frame moments (a rigid transform moves points across voxel bins —
+    the tables must be re-binned, not transformed)."""
+    if not cfg.stats_ring():
+        return state
+
+    def per_slot(xyz, intensity, valid, pose, used):
+        world = PointCloud(
+            xyz=xyz @ pose[:3, :3].T + pose[:3, 3],
+            intensity=intensity,
+            valid=valid & used,
+        )
+        out = []
+        for res in cfg.stat_levels():
+            p = partial_voxel_stats(world, res, cfg.keyframe_stats_capacity)
+            out.append((p.coords, p.moments))
+        return tuple(out)
+
+    kf_stats = jax.vmap(per_slot)(
+        state.kf_xyz, state.kf_intensity, state.kf_valid,
+        state.kf_pose, state.kf_slot_used,
+    )
+    return state._replace(kf_stats=kf_stats)
+
+
 # ---------------------------------------------------------------------------
 # Host engine
 # ---------------------------------------------------------------------------
@@ -671,6 +702,59 @@ class ScanMatcher:
             previous_position=jnp.asarray(last.pose[:3, 3]),
         )
         self._initialized = True
+
+    # -- pose-correction feedback (li_slam-style) ---------------------------
+    def adopt_correction(self, corrected: MapArray) -> None:
+        """Feed a backend graph correction back into the scan matcher.
+
+        The reference publishes ``modified_map_array`` solely for its sibling
+        project li_slam_ros2 (SURVEY.md section 1, README.md:174-176), whose
+        scan matcher consumes it to re-anchor odometry after a loop closure.
+        This is that consumer: rewrite the host MapArray poses (corrected
+        prefix; newer keyframes re-anchored by the last shared keyframe's
+        delta), rewrite the device keyframe-ring poses, re-anchor the current
+        pose, and rebuild the registration target from the corrected window.
+
+        Must run on the scan thread between scans (the node applies it at the
+        top of the next scan callback).
+        """
+        if not self._initialized or len(corrected) == 0 or len(self.map_array) == 0:
+            return
+        # settle any in-flight keyframe integration so the ring is final
+        self.flush_map_update()
+        n_shared = min(len(corrected), len(self.map_array))
+        old_anchor = self.map_array.submaps[n_shared - 1].pose
+        new_anchor = corrected.submaps[n_shared - 1].pose
+        delta = (new_anchor @ np.linalg.inv(old_anchor)).astype(np.float32)
+        if np.allclose(delta, np.eye(4), atol=1e-6):
+            return  # correction is a no-op; skip the target rebuild
+        for i, s in enumerate(self.map_array.submaps):
+            if i < n_shared:
+                s.pose = np.asarray(
+                    corrected.submaps[i].pose, dtype=np.float32
+                )
+            else:  # keyframes newer than the backend's snapshot
+                s.pose = (delta @ s.pose).astype(np.float32)
+        # ring slot (kf_next-1-j) % K holds submap N-1-j (newest first)
+        state = self.state
+        K = int(state.kf_xyz.shape[0])
+        N = len(self.map_array)
+        kf_pose = np.asarray(state.kf_pose).copy()
+        kf_next = int(state.kf_next)
+        for j in range(min(K, N)):
+            slot = (kf_next - 1 - j) % K
+            kf_pose[slot] = self.map_array.submaps[N - 1 - j].pose
+        new_pose = (delta @ np.asarray(state.pose)).astype(np.float32)
+        prev_pos = (
+            delta[:3, :3] @ np.asarray(state.previous_position) + delta[:3, 3]
+        ).astype(np.float32)
+        state = state._replace(
+            pose=jnp.asarray(new_pose),
+            previous_position=jnp.asarray(prev_pos),
+            kf_pose=jnp.asarray(kf_pose),
+        )
+        state = rebuild_stats_ring(self.cfg, state)
+        self.state = build_target_from_ring(self.cfg, state)
 
     # -- outputs -----------------------------------------------------------
     def current_pose(self) -> np.ndarray:
