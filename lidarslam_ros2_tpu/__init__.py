@@ -18,46 +18,62 @@ import jax as _jax
 # for these small-K contractions, so pin the highest precision globally.
 _jax.config.update("jax_default_matmul_precision", "highest")
 
-# Persistent XLA compilation cache: the pipeline compiles a dozen sizeable
-# programs (fused frontend step, target builds, backend aligns, graph solve);
-# first-compile costs 10-40 s each on TPU. Caching them on disk makes every
-# process after the first start hot. Opt out with LIDARSLAM_JAX_CACHE=''.
-import os as _os
-import tempfile as _tempfile
+def enable_compilation_cache(path: str | None = None) -> str | None:
+    """Opt IN to a persistent XLA compilation cache.
 
-# per-user path: a fixed predictable /tmp name would be shared across
-# users (permission failures, and loading compiled executables from a
-# directory another local user controls)
+    The pipeline compiles a dozen sizeable programs (fused frontend step,
+    target builds, backend aligns, graph solve); first-compile costs 10-40 s
+    each on TPU, so long-lived deployments want the on-disk cache. It is NOT
+    enabled at import: XLA:CPU persists AOT executables compiled for the
+    build machine's exact CPU features, and loading them on a different
+    machine type warns and then SIGILLs/SIGSEGVs — no robust host key exists
+    (a /proc/cpuinfo fingerprint demonstrably failed to prevent mismatched
+    loads), so a silent import side effect is a reliability hazard. CLI
+    entries (tools/slam.py, tools/graphslam.py) opt in by default on TPU
+    only; library users call this explicitly.
 
+    Returns the cache dir used, or None if one was already configured.
+    Environment override: ``LIDARSLAM_JAX_CACHE`` (empty string disables).
+    """
+    import hashlib
+    import os
+    import tempfile
 
-def _host_fingerprint() -> str:
-    """Hash of the host CPU feature set. XLA:CPU persists AOT executables
-    compiled for the *build* machine's features; loading them on a host
-    with a different feature set (e.g. /tmp surviving a migration to
-    another machine type) warns and then SIGSEGVs/SIGILLs. Keying the
-    cache dir by the feature flags gives each machine type its own cache."""
-    try:
-        import hashlib
+    if _jax.config.jax_compilation_cache_dir:
+        return None  # respect an existing explicit configuration
+    if path is None:
+        path = os.environ.get("LIDARSLAM_JAX_CACHE")
+    if path is None:
+        # per-user path (a fixed predictable /tmp name would be shared across
+        # users), keyed by jaxlib version + backend platform + CPU feature
+        # flags: best-effort isolation between machine types. The feature
+        # hash is advisory, which is exactly why this is opt-in.
+        try:
+            import jaxlib
 
-        with open("/proc/cpuinfo") as f:
-            for line in f:
-                if line.startswith(("flags", "Features")):
-                    return hashlib.md5(line.encode()).hexdigest()[:10]
-    except OSError:
-        pass
-    return "generic"
-
-
-_cache_dir = _os.environ.get(
-    "LIDARSLAM_JAX_CACHE",
-    _os.path.join(
-        _tempfile.gettempdir(),
-        f"lidarslam_jax_cache_{_os.getuid()}_{_host_fingerprint()}",
-    ),
-)
-if _cache_dir and not _jax.config.jax_compilation_cache_dir:
-    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+            key = f"{jaxlib.__version__}_{_jax.default_backend()}"
+        except Exception:
+            key = "unknown"
+        feats = "generic"
+        try:
+            with open("/proc/cpuinfo") as f:
+                for line in f:
+                    if line.startswith(("flags", "Features")):
+                        feats = hashlib.md5(
+                            line.encode(), usedforsecurity=False
+                        ).hexdigest()[:10]
+                        break
+        except (OSError, ValueError, TypeError):
+            pass
+        path = os.path.join(
+            tempfile.gettempdir(),
+            f"lidarslam_jax_cache_{os.getuid()}_{key}_{feats}",
+        )
+    if not path:
+        return None
+    _jax.config.update("jax_compilation_cache_dir", path)
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    return path
 
 from .core.pointcloud import PointCloud  # noqa: F401
 from .models.registration import (  # noqa: F401

@@ -38,7 +38,10 @@ from .gn_terms import gn_terms_channels
 from .voxelize import VoxelStats, voxel_stats
 
 # DIRECT7: the containing voxel + its 6 face neighbors.
-DIRECT7_OFFSETS = jnp.array(
+# numpy (NOT jnp): module-level jnp constants would initialize the device
+# backend at import time — hangs imports when a remote TPU relay is down and
+# defeats any later jax_platforms override. Inside jit they are identical.
+DIRECT7_OFFSETS = np.array(
     [
         [0, 0, 0],
         [1, 0, 0],
@@ -48,10 +51,10 @@ DIRECT7_OFFSETS = jnp.array(
         [0, 0, 1],
         [0, 0, -1],
     ],
-    dtype=jnp.int32,
+    dtype=np.int32,
 )
 
-DIRECT1_OFFSETS = jnp.array([[0, 0, 0]], dtype=jnp.int32)
+DIRECT1_OFFSETS = np.array([[0, 0, 0]], dtype=np.int32)
 
 
 def gauss_constants(resolution: float, outlier_ratio: float = 0.55):
@@ -192,12 +195,12 @@ FAT_WIDTH = 256
 
 
 # opposite-offset lane map: v = d + OFFSETS[opp(k)] when d = v + OFFSETS[k]
-_OPP = jnp.asarray(
+_OPP = np.asarray(
     [
         int(np.argmax((np.asarray(DIRECT7_OFFSETS) == -o).all(axis=1)))
         for o in np.asarray(DIRECT7_OFFSETS)
     ],
-    dtype=jnp.int32,
+    dtype=np.int32,
 )
 
 

@@ -12,8 +12,9 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-_BIG = jnp.float32(1.0e12)
+_BIG = np.float32(1.0e12)  # numpy: no device array creation at import
 
 
 def nn_dist2(

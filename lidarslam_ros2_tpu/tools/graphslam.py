@@ -34,6 +34,14 @@ def main(argv=None) -> int:
     )
     args = ap.parse_args(argv)
 
+    # same cache policy as tools/slam.py: opt in on TPU only
+    import jax
+
+    from .. import enable_compilation_cache
+
+    if jax.default_backend() == "tpu":
+        enable_compilation_cache()
+
     from ..api.config import load_yaml
     from ..core.map_array import MapArray
     from ..graph.backend import BackendConfig, GraphBasedSlam
