@@ -10,6 +10,7 @@ serializations at the edges).
 from __future__ import annotations
 
 import dataclasses
+import threading
 from typing import Optional
 
 import numpy as np
@@ -72,11 +73,16 @@ class ScanMatcherNode:
         # the next scan callback — no locks on the engine.
         self.use_modified_map = use_modified_map
         self._pending_correction = None
+        # guards the store/swap pair: without it, a correction published by
+        # the backend worker between the scan thread's read and its
+        # store-None would be silently discarded and an OLDER one applied
+        self._correction_lock = threading.Lock()
         if use_modified_map:
             bus.subscribe("modified_map_array", self._on_modified_map)
 
     def _on_modified_map(self, msg) -> None:
-        self._pending_correction = msg
+        with self._correction_lock:
+            self._pending_correction = msg
 
     # -- callbacks (reference initializePubSub, :157-260) ---------------------
     def _on_initial_pose(self, msg: PoseStamped) -> None:
@@ -105,8 +111,9 @@ class ScanMatcherNode:
         if not self._initial_pose_received:
             print("initial_pose is not received")
             return
-        if self._pending_correction is not None:
+        with self._correction_lock:
             corrected, self._pending_correction = self._pending_correction, None
+        if corrected is not None:
             self.engine.adopt_correction(corrected)
         stamp = msg["stamp"]
         points = msg["points"]

@@ -347,16 +347,26 @@ def rebuild_stats_ring(cfg: FrontendConfig, state: FrontendState) -> FrontendSta
             valid=valid & used,
         )
         out = []
+        dropped = jnp.int32(0)
         for res in cfg.stat_levels():
             p = partial_voxel_stats(world, res, cfg.keyframe_stats_capacity)
             out.append((p.coords, p.moments))
-        return tuple(out)
+            dropped = jnp.maximum(dropped, p.n_dropped)
+        return tuple(out), dropped
 
-    kf_stats = jax.vmap(per_slot)(
+    kf_stats, dropped = jax.vmap(per_slot)(
         state.kf_xyz, state.kf_intensity, state.kf_valid,
         state.kf_pose, state.kf_slot_used,
     )
-    return state._replace(kf_stats=kf_stats)
+    # a re-bin that overflows keyframe_stats_capacity must fire the
+    # keyframe_stat_voxels_dropped counter like insert_keyframe does —
+    # fixed-capacity truncation is never silent in this package
+    return state._replace(
+        kf_stats=kf_stats,
+        last_kf_stats_dropped=jnp.maximum(
+            state.last_kf_stats_dropped, dropped.max()
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -393,6 +403,11 @@ class ScanMatcher:
             max_workers=1, thread_name_prefix="mapping"
         )
         self._last_overflow: dict = {}
+        # run-wide maxima of every per-scan overflow counter — the node/CLI
+        # layer surfaces these as capacity warnings at the end of a run
+        # (tools/slam.py), so a mis-sized production run is loud even if
+        # nobody reads the per-scan result dicts
+        self.overflow_max: dict = {}
         # per-stage wall-clock stats (the reference only ad-hoc times align()
         # under debug_flag, scanmatcher_component.cpp:351-354); read via
         # ``timer.summary()`` — tools/slam.py surfaces it in summary.json
@@ -496,6 +511,9 @@ class ScanMatcher:
                 result["map_updated"] = self._poll_map_update(block=True)
         if result["map_updated"]:
             result["overflow"].update(self._last_overflow)
+        for k, v in result["overflow"].items():
+            if v > self.overflow_max.get(k, 0):
+                self.overflow_max[k] = v
         return result
 
     def _prefetch_mapping(self, pend: FrontendState):
@@ -726,8 +744,14 @@ class ScanMatcher:
         old_anchor = self.map_array.submaps[n_shared - 1].pose
         new_anchor = corrected.submaps[n_shared - 1].pose
         delta = (new_anchor @ np.linalg.inv(old_anchor)).astype(np.float32)
-        if np.allclose(delta, np.eye(4), atol=1e-6):
-            return  # correction is a no-op; skip the target rebuild
+        if all(
+            np.allclose(corrected.submaps[i].pose,
+                        self.map_array.submaps[i].pose, atol=1e-6)
+            for i in range(n_shared)
+        ):
+            return  # correction is a no-op on EVERY shared pose; skip the
+            # rebuild (checking only the anchor would drop a correction that
+            # moves interior keyframes while the optimizer anchors the latest)
         for i, s in enumerate(self.map_array.submaps):
             if i < n_shared:
                 s.pose = np.asarray(
