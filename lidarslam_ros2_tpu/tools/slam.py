@@ -96,6 +96,17 @@ def main(argv=None) -> int:
     )
     args = ap.parse_args(argv)
 
+    # long-lived CLI entry: opt into the persistent XLA compilation cache on
+    # TPU (first-compile costs 10-40 s/program there). NOT on CPU — XLA:CPU
+    # AOT executables are machine-type-specific and a stale cache SIGILLs
+    # (see lidarslam_ros2_tpu.enable_compilation_cache).
+    import jax
+
+    from .. import enable_compilation_cache
+
+    if jax.default_backend() == "tpu":
+        enable_compilation_cache()
+
     from ..api.config import load_yaml
     from ..api.lidarslam import LidarSlam
     from ..core import se3
@@ -253,7 +264,30 @@ def main(argv=None) -> int:
             app.graph_based_slam.engine.timer.summary()
             if hasattr(app, "graph_based_slam") else {}
         ),
+        # run-wide maxima of every fixed-capacity overflow counter: nonzero
+        # means data was truncated somewhere and a capacity knob needs raising
+        "overflow_max": app.scan_matcher.engine.overflow_max,
     }
+    # surface mis-sized capacities loudly (the silent-degradation failure
+    # mode these counters were built to prevent); knob names per counter
+    # follow docs/PARAMETERS.md
+    _overflow_knob = {
+        "scan_points_dropped": "scan_capacity",
+        "input_voxels_dropped": "input_capacity",
+        "keyframe_voxels_dropped": "keyframe_capacity",
+        "target_voxels_dropped": "ndt.voxel_capacity / gicp.voxel_capacity",
+        "hash_slots_unplaced": "ndt.voxel_capacity (hash occupancy)",
+        "dilated_voxels_dropped": "ndt.voxel_capacity (dilated set)",
+        "fat_slots_unplaced": "ndt.voxel_capacity (fat-row buckets)",
+        "keyframe_stat_voxels_dropped": "keyframe_stats_capacity",
+    }
+    for key, v in summary["overflow_max"].items():
+        if v:
+            print(
+                f"WARNING: capacity overflow — {key}={v} points/voxels were "
+                f"dropped at least once; raise {_overflow_knob.get(key, key)} "
+                f"(see docs/PARAMETERS.md)"
+            )
     with open(os.path.join(args.output, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
     if args.debug:

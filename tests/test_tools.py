@@ -110,3 +110,42 @@ def test_standalone_backend_over_checkpoint(tmp_path):
     assert (out / "modified_path.npy").exists()
     mp = np.load(out / "modified_path.npy")
     assert mp.shape[0] == summary["submaps"]
+
+
+def test_cli_warns_on_capacity_overflow(tmp_path, capsys):
+    """A mis-sized run must be LOUD: the CLI prints a capacity warning naming
+    the knob (docs/PARAMETERS.md) and summary.json carries the run-wide
+    overflow maxima — the silent-degradation mode the counters exist to
+    prevent (VoxelGrid capacity truncation has no reference analogue; the
+    reference simply allocates dynamically)."""
+    from lidarslam_ros2_tpu.tools.slam import main
+
+    scans, _ = _write_course(tmp_path, n=4)
+    p = tmp_path / "tiny.yaml"
+    p.write_text(
+        """
+scan_matcher:
+  ros__parameters:
+    registration_method: "NDT"
+    ndt_resolution: 2.0
+    ndt_voxel_capacity: 4096
+    trans_for_mapupdate: 1.0
+    vg_size_for_input: 0.1
+    set_initial_pose: true
+    initial_pose_z: 1.5
+    scan_capacity: 8192
+    input_capacity: 256   # far below the ~6k occupied input voxels
+    keyframe_capacity: 4096
+"""
+    )
+    out = tmp_path / "out_tiny"
+    rc = main([
+        "--pcd-dir", str(scans), "--params", str(p),
+        "--output", str(out), "--frontend-only",
+    ])
+    assert rc == 0
+    captured = capsys.readouterr().out
+    assert "WARNING: capacity overflow" in captured
+    assert "input_capacity" in captured  # names the knob to raise
+    summary = json.loads((out / "summary.json").read_text())
+    assert summary["overflow_max"]["input_voxels_dropped"] > 0
