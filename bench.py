@@ -45,11 +45,14 @@ def _run_capped(fn, cap_s):
         signal.alarm(0)
         signal.signal(signal.SIGALRM, old)
 
-# Fixture cache: synthetic-scan generation is host-side numpy on a single
-# core and dominated round 2's bench wall time (driver rc=124 before the
-# headline ever printed). The final padded fixtures are cached to /tmp so
-# they are built once per image, ever. Bump the version on any change to
-# the generation parameters below or the simulator math.
+# Fixture store: synthetic-scan generation is host-side numpy on a single
+# core and dominated round 2's AND round 3's bench wall time (BENCH_r03:
+# "fixtures staged" at +483.6 s — every secondary section skipped). The
+# fixtures are PRE-STAGED in the repo (fixtures/, tools/make_fixtures.py,
+# committed like golden files) so a cold driver image pays ~1 s to np.load
+# them; the /tmp cache remains as a fallback for ad-hoc parameter changes.
+_FIXTURE_PRESTAGE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "fixtures")
 _FIXTURE_DIR = "/tmp/lidarslam_bench_fixtures"
 _FIXTURE_VERSION = "v1"
 
@@ -59,21 +62,22 @@ def _vlp32_window(seed=0):
     scale (BASELINE config 1: NDT resolution 5.0, vg 0.2, no IMU/odom)."""
     from lidarslam_ros2_tpu.core.pointcloud import PointCloud
 
-    cache = os.path.join(
-        _FIXTURE_DIR, f"vlp32_window_{_FIXTURE_VERSION}_seed{seed}.npz"
-    )
-    if os.path.exists(cache):
-        try:
-            z = np.load(cache)
-            window = PointCloud.from_numpy(
-                z["window_xyz"], int(z["window_cap"]), z["window_inten"]
-            )
-            source = PointCloud.from_numpy(
-                z["source_xyz"], int(z["source_cap"]), z["source_inten"]
-            )
-            return window, source, z["pose"]
-        except Exception:
-            pass  # corrupt cache: regenerate
+    name = f"vlp32_window_{_FIXTURE_VERSION}_seed{seed}.npz"
+    for cache in (os.path.join(_FIXTURE_PRESTAGE, name),
+                  os.path.join(_FIXTURE_DIR, name)):
+        if os.path.exists(cache):
+            try:
+                z = np.load(cache)
+                window = PointCloud.from_numpy(
+                    z["window_xyz"], int(z["window_cap"]), z["window_inten"]
+                )
+                source = PointCloud.from_numpy(
+                    z["source_xyz"], int(z["source_cap"]), z["source_inten"]
+                )
+                return window, source, z["pose"]
+            except Exception:
+                pass  # corrupt/unreadable: try the next tier
+    cache = os.path.join(_FIXTURE_DIR, name)
     window, source, pose = _vlp32_window_uncached(seed)
     try:
         os.makedirs(_FIXTURE_DIR, exist_ok=True)
@@ -306,7 +310,10 @@ def _bench_ate_parity():
     """BASELINE.md "hdl_400 ATE parity with CPU ndt_omp" stand-in: replay
     the same synthetic course through the JAX frontend and the native CPU
     NDT odometry loop (utils/cpu_slam.py) with identical parameters; report
-    both ATEs and their ratio."""
+    both ATEs and their ratio. Also replays the GICP+IMU-class frontend
+    (BASELINE config 2) over the same course and reports its ATE next to
+    NDT's — the reference treats GICP as a co-equal method
+    (scanmatcher_component.cpp:115-124)."""
     import numpy as np
 
     from lidarslam_ros2_tpu.odometry.frontend import ScanMatcher
@@ -327,11 +334,74 @@ def _bench_ate_parity():
     gt_arr = np.stack(gt)
     ate_tpu = cpu_slam.ate_rmse(sm.get_path(), gt_arr)
     ate_cpu = cpu_slam.ate_rmse(cpu.get_path(), gt_arr)
-    return {
+    out = {
         "scans": N,
         "ate_tpu_m": round(ate_tpu, 4),
         "ate_cpu_m": round(ate_cpu, 4),
         "ate_ratio_tpu_over_cpu": round(ate_tpu / max(ate_cpu, 1e-9), 3),
+    }
+    try:
+        gcfg = cpu_slam.parity_setup_gicp()
+        smg = ScanMatcher(gcfg, initial_pose=gt[0])
+        for k, s in enumerate(scans):
+            smg.process_scan(s, stamp=0.1 * k)
+        smg.flush_map_update()
+        ate_gicp = cpu_slam.ate_rmse(smg.get_path(), gt_arr)
+        out["ate_gicp_tpu_m"] = round(ate_gicp, 4)
+        out["ate_gicp_over_ndt"] = round(ate_gicp / max(ate_tpu, 1e-9), 3)
+    except Exception as e:  # GICP course failure must not lose the NDT rows
+        out["gicp_error"] = f"{type(e).__name__}: {e}"
+    return out
+
+
+def _bench_long_course():
+    """Tsukuba-class long run (reference headline: "several kilometers ...
+    in real time", /root/reference/README.md:19): 400 scans / 2 laps /
+    ~107 m / ~107 keyframes through the FULL pipeline with the async
+    backend. Reports loop closures, corrected ATE, and latency flatness
+    (p50 of the last quarter vs the first) — the long-horizon behaviors
+    (ring eviction, pose-graph bucket regrowth, repeated closures) that a
+    96-scan course never reaches."""
+    from lidarslam_ros2_tpu.api.lidarslam import LidarSlam
+    from lidarslam_ros2_tpu.utils import cpu_slam
+
+    scans, gt, fcfg, bcfg = cpu_slam.long_course_setup()
+    app = LidarSlam(fcfg, bcfg, set_initial_pose=True, initial_pose=gt[0],
+                    async_backend=True, use_modified_map=True)
+    lat = []
+    try:
+        for k, s in enumerate(scans):
+            t0 = time.perf_counter()
+            app.add_scan(s, stamp=0.1 * k)
+            lat.append(time.perf_counter() - t0)
+        app.finish()
+        res = app.results()
+    finally:
+        app.close()
+    lat = np.asarray(lat[2:])  # drop compile scans
+    n4 = len(lat) // 4
+    ate_front = cpu_slam.ate_rmse(res["path"], gt)
+    # modified_path holds per-KEYFRAME poses: index ground truth by each
+    # submap's scan stamp (stamp = 0.1 * scan_index)
+    mma = res["modified_map_array"]
+    ate_corr = None
+    if mma is not None and len(mma):
+        ks = [int(round(s.stamp / 0.1)) for s in mma.submaps]
+        ate_corr = cpu_slam.ate_rmse(
+            np.stack([s.pose for s in mma.submaps]), gt[ks]
+        )
+    return {
+        "scans": len(scans),
+        "travel_m": round(float(res["map_array"].submaps[-1].distance), 1),
+        "keyframes": len(res["map_array"]),
+        "loop_closures": len(res["loop_edges"]),
+        "ate_frontend_m": round(ate_front, 3),
+        "ate_corrected_m": round(ate_corr, 3) if ate_corr is not None else None,
+        "scan_ms_p50_first_quarter": round(
+            1000 * float(np.percentile(lat[:n4], 50)), 2),
+        "scan_ms_p50_last_quarter": round(
+            1000 * float(np.percentile(lat[-n4:], 50)), 2),
+        "scan_ms_p99": round(1000 * float(np.percentile(lat, 99)), 2),
     }
 
 
@@ -404,7 +474,10 @@ def main():
     t_start = time.monotonic()
     # hard wall-clock budget for the whole run: secondary sections are
     # skipped once exceeded so the process always exits in the driver budget
-    budget_s = float(os.environ.get("BENCH_BUDGET_S", "420"))
+    # (observed driver allowance: BENCH_r03 was still alive at +585 s —
+    # 580 keeps a safety margin; with pre-staged fixtures the whole report
+    # fits well inside it)
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "580"))
 
     def stamp(msg):
         # stderr progress marks: the remote-TPU relay's compile/first-touch
@@ -485,6 +558,10 @@ def main():
         "align_ms_10it": round(1000.0 * t_lo, 3),
         "align_ms_40it": round(1000.0 * t_hi, 3),
         "device": str(jax.devices()[0]),
+        # vs_baseline is the speedup vs BASELINE.md's 2 ms/iter TARGET; the
+        # measured CPU ratio behind the ">= 20x over ndt_omp" contract is in
+        # the cpu_ndt_baseline section below (do not conflate the two)
+        "vs_baseline_meaning": "2ms_target_over_measured",
     }
 
     def emit():
@@ -519,6 +596,7 @@ def main():
             ("ate_parity", _bench_ate_parity),
             ("multistream", _bench_multistream),
             ("gicp", lambda: _bench_gicp(window, source, guess)),
+            ("long_course", _bench_long_course),
         ):
             left = budget_s - (time.monotonic() - t_start)
             if left < 30.0:
