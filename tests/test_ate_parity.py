@@ -40,3 +40,54 @@ def test_cpu_jax_frontend_ate_parity():
     # parity: the JAX stack may not be meaningfully worse than the CPU one
     # (absolute floor allows cm-scale noise when both are tiny)
     assert ate_jax < max(1.5 * ate_cpu, ate_cpu + 0.05), (ate_jax, ate_cpu)
+
+
+@pytest.mark.skipif(not cpu_slam.available(), reason="native ndt_cpu missing")
+def test_full_course_ate_parity():
+    """The FULL 96-scan circle (356 deg of sustained rotation, 24 m travel):
+    pins the round-3 headline claim (ratio 0.981, commit a778dfb) in a
+    gated check so regressions of the sustained-rotation class (e.g. the
+    coarse-pyramid early-convergence bug, models/registration.py) cannot
+    silently return. The 34-scan test above covers only 127 deg."""
+    scans, gt, fcfg, cpu_kwargs = cpu_slam.parity_setup(n_scans=96)
+
+    sm = ScanMatcher(fcfg, initial_pose=gt[0])
+    for k, scan in enumerate(scans):
+        sm.process_scan(scan, stamp=0.1 * k)
+    sm.flush_map_update()
+    cpu = cpu_slam.CpuOdometry(initial_pose=gt[0], **cpu_kwargs)
+    for scan in scans:
+        cpu.process_scan(scan)
+
+    gt_arr = np.stack(gt)
+    ate_jax = cpu_slam.ate_rmse(sm.get_path(), gt_arr)
+    ate_cpu = cpu_slam.ate_rmse(cpu.get_path(), gt_arr)
+    assert ate_cpu < 0.35, f"CPU baseline diverged: ATE {ate_cpu:.3f} m"
+    assert ate_jax < 0.35, f"JAX frontend diverged: ATE {ate_jax:.3f} m"
+    assert ate_jax < max(1.5 * ate_cpu, ate_cpu + 0.05), (ate_jax, ate_cpu)
+
+
+def test_gicp_frontend_ate():
+    """BASELINE config 2 stand-in: the GICP frontend must also track the
+    parity course (reference holds NDT and GICP behind one registration
+    pointer, scanmatcher_component.cpp:115-124). Gated on an absolute bound
+    plus a sanity ratio vs the NDT frontend on identical scans."""
+    scans, gt, fcfg, _ = cpu_slam.parity_setup()
+    gcfg = cpu_slam.parity_setup_gicp()
+
+    smg = ScanMatcher(gcfg, initial_pose=gt[0])
+    for k, scan in enumerate(scans):
+        smg.process_scan(scan, stamp=0.1 * k)
+    smg.flush_map_update()
+
+    smn = ScanMatcher(fcfg, initial_pose=gt[0])
+    for k, scan in enumerate(scans):
+        smn.process_scan(scan, stamp=0.1 * k)
+    smn.flush_map_update()
+
+    gt_arr = np.stack(gt)
+    ate_gicp = cpu_slam.ate_rmse(smg.get_path(), gt_arr)
+    ate_ndt = cpu_slam.ate_rmse(smn.get_path(), gt_arr)
+    assert ate_gicp < 0.25, f"GICP frontend diverged: ATE {ate_gicp:.3f} m"
+    # co-equal methods: GICP may not be wildly worse than NDT on this course
+    assert ate_gicp < max(3.0 * ate_ndt, ate_ndt + 0.1), (ate_gicp, ate_ndt)
