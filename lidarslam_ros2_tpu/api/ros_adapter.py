@@ -104,10 +104,14 @@ class RosLidarSlamNode(Node):  # pragma: no cover - needs a ROS 2 runtime
         period = bcfg.loop_detection_period / 1000.0
         self.create_timer(period, self._on_timer)
 
+        self._global_frame = opts.global_frame_id
+
         # internal bus -> ROS re-publication
         self.app.bus.subscribe("current_pose", self._publish_pose)
         self.app.bus.subscribe("map", self._publish_map)
         self.app.bus.subscribe("modified_map", self._publish_modified_map)
+        self.app.bus.subscribe("path", self._publish_path)
+        self.app.bus.subscribe("modified_path", self._publish_modified_path)
 
     # -- ROS -> engine ------------------------------------------------------
     def _stamp(self, header) -> float:
@@ -182,6 +186,35 @@ class RosLidarSlamNode(Node):  # pragma: no cover - needs a ROS 2 runtime
         (msg.pose.orientation.x, msg.pose.orientation.y,
          msg.pose.orientation.z, msg.pose.orientation.w) = map(float, p7[3:])
         self.pose_pub.publish(msg)
+
+    def _publish_path(self, poses) -> None:
+        """Per-scan full-path republication (the reference publishes the
+        whole nav_msgs/Path every scan, scanmatcher_component.cpp:553-556)."""
+        self.path_pub.publish(self._to_ros_path(poses))
+
+    def _publish_modified_path(self, poses) -> None:
+        if poses is not None:
+            self.modified_path_pub.publish(self._to_ros_path(poses))
+
+    def _to_ros_path(self, poses):
+        from geometry_msgs.msg import PoseStamped as RosPose
+        from nav_msgs.msg import Path
+        from ..core import se3
+        import jax.numpy as jnp
+
+        msg = Path()
+        msg.header.frame_id = self._global_frame
+        p7s = np.asarray(se3.matrix_to_pose7(jnp.asarray(np.asarray(poses))))
+        for p7 in p7s:
+            p = RosPose()
+            p.header.frame_id = self._global_frame
+            p.pose.position.x, p.pose.position.y, p.pose.position.z = map(
+                float, p7[:3]
+            )
+            (p.pose.orientation.x, p.pose.orientation.y,
+             p.pose.orientation.z, p.pose.orientation.w) = map(float, p7[3:])
+            msg.poses.append(p)
+        return msg
 
     def _publish_map(self, cloud: np.ndarray) -> None:
         self.map_pub.publish(self._to_ros_pc2(cloud))

@@ -29,3 +29,23 @@ import pytest  # noqa: E402
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(42)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Release compiled executables at module boundaries.
+
+    jaxlib 0.9.0's XLA:CPU backend segfaults inside
+    `backend_compile_and_load` once a single process has accumulated enough
+    live compiled programs (deterministic: the full suite in one process
+    dies at ~test 98 in whichever big compile runs there, while the same
+    module passes alone — reproduced with MALLOC_CHECK_/PYTHONMALLOC debug
+    showing no earlier heap corruption, and 500 small fresh compiles do NOT
+    trigger it). Dropping executables between modules keeps the in-process
+    JIT footprint bounded so `python -m pytest tests/ -q` survives in one
+    invocation; within a module, tests still share their compile cache.
+    """
+    yield
+    import jax
+
+    jax.clear_caches()
