@@ -131,14 +131,14 @@ def _vlp32_window_uncached(seed=0):
     return window, source, poses[5]
 
 
-def _bench_cpu_ndt(window, source, guess_np, tpu_ms_per_iter):
-    """ndt_omp-class CPU baseline on the SAME workload (BASELINE >= 20x)."""
+def _cpu_ndt_measure(tgt, src, guess_np):
+    """ndt_omp-class CPU baseline on the SAME workload (BASELINE >= 20x).
+    Pure host work — runs in the attach window (no TPU needed); the TPU
+    ratio is filled in by the section once the headline is measured."""
     from lidarslam_ros2_tpu.utils import cpu_baseline
 
     if not cpu_baseline.available():
         return {"available": False}
-    tgt = np.asarray(window.xyz)[np.asarray(window.valid)]
-    src = np.asarray(source.xyz)[np.asarray(source.valid)]
     ndt = cpu_baseline.NdtCpu(tgt, resolution=5.0)
     threads = cpu_baseline.max_threads()
     # warm-up + fixed-iteration timing (epsilon 0 -> exactly max_iter iters)
@@ -159,9 +159,18 @@ def _bench_cpu_ndt(window, source, guess_np, tpu_ms_per_iter):
         "ms_per_iter_measured": round(ms, 3),
         "threads_measured": threads,
         "ms_per_iter_8t_extrapolated": round(ms_8t, 3),
-        "speedup_tpu_vs_measured": round(ms / tpu_ms_per_iter, 1),
-        "speedup_tpu_vs_8t_extrapolated": round(ms_8t / tpu_ms_per_iter, 1),
     }
+
+
+def _bench_cpu_ndt(pre, tpu_ms_per_iter):
+    """Fill the TPU-vs-CPU ratios into the prework measurement."""
+    out = dict(pre)
+    if out.get("available"):
+        out["speedup_tpu_vs_measured"] = round(
+            out["ms_per_iter_measured"] / tpu_ms_per_iter, 1)
+        out["speedup_tpu_vs_8t_extrapolated"] = round(
+            out["ms_per_iter_8t_extrapolated"] / tpu_ms_per_iter, 1)
+    return out
 
 
 def _bench_gicp(window, source, guess):
@@ -197,12 +206,12 @@ def _bench_gicp(window, source, guess):
         # compiled program (round-3 fix — two static configs doubled compile)
         mi = jnp.int32(iters)
         res = gicp_align(cfg, target, source, src_cov, guess, mi)
-        jax.block_until_ready(res.T)
+        np.asarray(res.T)
         ts = []
         for _ in range(10):
             t0 = time.perf_counter()
             res = gicp_align(cfg, target, source, src_cov, guess, mi)
-            jax.block_until_ready(res.T)
+            np.asarray(res.T)  # DATA-read fence (see multistream note)
             ts.append(time.perf_counter() - t0)
         return float(np.median(ts))
 
@@ -214,7 +223,7 @@ def _bench_gicp(window, source, guess):
     }
 
 
-def _bench_full_slam():
+def _bench_full_slam(scans=None):
     """BASELINE config 3: full SLAM (frontend + async backend with loop
     closures + map_save); per-scan wall-time distribution."""
     from lidarslam_ros2_tpu.api.lidarslam import LidarSlam
@@ -265,10 +274,11 @@ def _bench_full_slam():
     # reference demos: inter-scan slack absorbs the async keyframe rebuild
     # and backend work exactly as the reference's mapping/loop threads do.
     # Latency = add_scan wall time seen by the (paced) caller.
-    scans = [
-        simulate_scan(world, gt[k], VLP16, noise=0.01, seed=100 + k)
-        for k in range(n + 1)
-    ]
+    if scans is None:
+        scans = [
+            simulate_scan(world, gt[k], VLP16, noise=0.01, seed=100 + k)
+            for k in range(n + 1)
+        ]
     period = 0.1
     lat = []
     t_paced = None
@@ -306,14 +316,67 @@ def _bench_full_slam():
     }
 
 
-def _bench_ate_parity():
+def _cpu_ndt_prework():
+    """Host-only half of the CPU-baseline section: measure the native
+    OpenMP NDT on the fixture workload (no TPU dispatch)."""
+    name = f"vlp32_window_{_FIXTURE_VERSION}_seed0.npz"
+    for cache in (os.path.join(_FIXTURE_PRESTAGE, name),
+                  os.path.join(_FIXTURE_DIR, name)):
+        if os.path.exists(cache):
+            z = np.load(cache)
+            offset = np.eye(4, dtype=np.float32)
+            offset[:3, 3] = [0.3, -0.2, 0.05]  # same seed error as headline
+            return _cpu_ndt_measure(
+                z["window_xyz"], z["source_xyz"], z["pose"] @ offset
+            )
+    return {"available": False, "note": "fixture npz missing"}
+
+
+def _full_slam_scans(n=97):
+    """Host-only scan staging for the full-SLAM section (prestaged npy)."""
+    from lidarslam_ros2_tpu.utils.synthetic import (
+        VLP16, World, circle_trajectory, simulate_scan,
+    )
+
+    world = World(seed=7)
+    gt = circle_trajectory(n, radius=4.0)
+    return [
+        simulate_scan(world, gt[k], VLP16, noise=0.01, seed=100 + k)
+        for k in range(n)
+    ]
+
+
+def _long_course_prework():
+    from lidarslam_ros2_tpu.utils import cpu_slam
+
+    return cpu_slam.long_course_setup()
+
+
+def _ate_parity_prework():
+    """Host-only half of the ATE parity section: stage the course and run
+    the native-CPU odometry replay (no TPU dispatch anywhere)."""
+    from lidarslam_ros2_tpu.utils import cpu_slam
+
+    scans, gt, fcfg, cpu_kwargs = cpu_slam.parity_setup()
+    cpu = cpu_slam.CpuOdometry(initial_pose=gt[0], **cpu_kwargs)
+    for s in scans:
+        cpu.process_scan(s)
+    ate_cpu = cpu_slam.ate_rmse(cpu.get_path(), np.stack(gt))
+    return {
+        "scans": scans, "gt": gt, "fcfg": fcfg, "ate_cpu": ate_cpu,
+        "gcfg": cpu_slam.parity_setup_gicp(),
+    }
+
+
+def _bench_ate_parity(pre=None):
     """BASELINE.md "hdl_400 ATE parity with CPU ndt_omp" stand-in: replay
     the same synthetic course through the JAX frontend and the native CPU
     NDT odometry loop (utils/cpu_slam.py) with identical parameters; report
     both ATEs and their ratio. Also replays the GICP+IMU-class frontend
     (BASELINE config 2) over the same course and reports its ATE next to
     NDT's — the reference treats GICP as a co-equal method
-    (scanmatcher_component.cpp:115-124)."""
+    (scanmatcher_component.cpp:115-124). The CPU replay is pure host work
+    and is done in the attach-window prework when available."""
     import numpy as np
 
     from lidarslam_ros2_tpu.odometry.frontend import ScanMatcher
@@ -321,19 +384,18 @@ def _bench_ate_parity():
 
     if not cpu_slam.available():
         return {"skipped": "native ndt_cpu unavailable"}
-    # course + matched configs shared with tests/test_ate_parity.py
-    scans, gt, fcfg, cpu_kwargs = cpu_slam.parity_setup()
+    if pre is None:
+        pre = _ate_parity_prework()
+    scans, gt, fcfg, ate_cpu = (
+        pre["scans"], pre["gt"], pre["fcfg"], pre["ate_cpu"]
+    )
     N = len(scans)  # 1/3 of the full_slam course: 8.5 m, 127 deg rotation
     sm = ScanMatcher(fcfg, initial_pose=gt[0])
     for k, s in enumerate(scans):
         sm.process_scan(s, stamp=0.1 * k)
     sm.flush_map_update()
-    cpu = cpu_slam.CpuOdometry(initial_pose=gt[0], **cpu_kwargs)
-    for s in scans:
-        cpu.process_scan(s)
     gt_arr = np.stack(gt)
     ate_tpu = cpu_slam.ate_rmse(sm.get_path(), gt_arr)
-    ate_cpu = cpu_slam.ate_rmse(cpu.get_path(), gt_arr)
     out = {
         "scans": N,
         "ate_tpu_m": round(ate_tpu, 4),
@@ -341,7 +403,7 @@ def _bench_ate_parity():
         "ate_ratio_tpu_over_cpu": round(ate_tpu / max(ate_cpu, 1e-9), 3),
     }
     try:
-        gcfg = cpu_slam.parity_setup_gicp()
+        gcfg = pre["gcfg"]
         smg = ScanMatcher(gcfg, initial_pose=gt[0])
         for k, s in enumerate(scans):
             smg.process_scan(s, stamp=0.1 * k)
@@ -354,7 +416,7 @@ def _bench_ate_parity():
     return out
 
 
-def _bench_long_course():
+def _bench_long_course(pre=None):
     """Tsukuba-class long run (reference headline: "several kilometers ...
     in real time", /root/reference/README.md:19): 400 scans / 2 laps /
     ~107 m / ~107 keyframes through the FULL pipeline with the async
@@ -365,7 +427,9 @@ def _bench_long_course():
     from lidarslam_ros2_tpu.api.lidarslam import LidarSlam
     from lidarslam_ros2_tpu.utils import cpu_slam
 
-    scans, gt, fcfg, bcfg = cpu_slam.long_course_setup()
+    if pre is None:
+        pre = cpu_slam.long_course_setup()
+    scans, gt, fcfg, bcfg = pre
     app = LidarSlam(fcfg, bcfg, set_initial_pose=True, initial_pose=gt[0],
                     async_backend=True, use_modified_map=True)
     lat = []
@@ -405,7 +469,65 @@ def _bench_long_course():
     }
 
 
-def _bench_multistream():
+def _multistream_frames(P, S):
+    """Host-only frame staging for the multistream section (prework)."""
+    from lidarslam_ros2_tpu.utils.synthetic import (
+        VLP32, World, line_trajectory, simulate_scan,
+    )
+
+    world = World(seed=3)
+    poses = line_trajectory(6, step=0.3)
+    frames = []
+    for k, pose in enumerate(poses):
+        scan = simulate_scan(world, pose, VLP32, noise=0.01, seed=k, n_steps=48)
+        pad = np.full((P, 4), np.inf, dtype=np.float32)
+        pad[: min(len(scan), P)] = scan[:P]
+        frames.append(pad)
+    return [np.stack([frames[k]] * S) for k in range(len(frames))]
+
+
+def _multistream_cpu_prework():
+    """Host-only comparator for the multistream section: the SAME 6-frame
+    VLP-32 workload and frontend parameters through the native ndt_omp-class
+    CPU odometry loop (utils/cpu_slam.py), single thread. The multistream
+    claim is aggregate scans/s of 8 streams on one chip vs N x this number
+    on an N-core CPU — measuring the per-thread CPU rate makes that
+    comparison explicit (BASELINE config 5)."""
+    from lidarslam_ros2_tpu.utils import cpu_slam
+    from lidarslam_ros2_tpu.utils.synthetic import (
+        VLP32, World, line_trajectory, simulate_scan,
+    )
+
+    if not cpu_slam.available():
+        return {"available": False}
+    world = World(seed=3)
+    poses = line_trajectory(6, step=0.3)
+    scans = [
+        simulate_scan(world, pose, VLP32, noise=0.01, seed=k, n_steps=48)
+        for k, pose in enumerate(poses)
+    ]
+    cpu = cpu_slam.CpuOdometry(
+        resolution=2.0, trans_for_mapupdate=1.0, vg_size_for_input=0.2,
+        vg_size_for_map=0.1, num_targeted_cloud=5, max_iterations=20,
+        n_threads=1,
+    )
+    for s in scans[:2]:  # bootstrap (mirrors the TPU path's untimed steps)
+        cpu.process_scan(s)
+    t0 = time.perf_counter()
+    n = 0
+    for _ in range(3):
+        for s in scans[2:]:
+            cpu.process_scan(s)
+            n += 1
+    dt = (time.perf_counter() - t0) / n
+    return {
+        "available": True,
+        "scans_per_sec_1thread": round(1.0 / dt, 2),
+        "ms_per_scan_1thread": round(1000 * dt, 1),
+    }
+
+
+def _bench_multistream(batch=None, cpu_pre=None):
     """BASELINE config 5: 8 concurrent odometry streams vmapped as ONE XLA
     program on one chip. The single-stream frontend is gather/index-bound
     with the chip idle most of each step — batching streams shares the
@@ -416,9 +538,6 @@ def _bench_multistream():
     from lidarslam_ros2_tpu.models.registration import NDTConfig
     from lidarslam_ros2_tpu.odometry.frontend import FrontendConfig
     from lidarslam_ros2_tpu.parallel.multistream import MultiStreamSlam
-    from lidarslam_ros2_tpu.utils.synthetic import (
-        VLP32, World, line_trajectory, simulate_scan,
-    )
 
     S = 8
     cfg = FrontendConfig(
@@ -432,18 +551,16 @@ def _bench_multistream():
         input_capacity=8192,
         keyframe_capacity=8192,
     )
-    world = World(seed=3)
-    poses = line_trajectory(6, step=0.3)
-    P = cfg.scan_capacity
-    frames = []
-    for k, pose in enumerate(poses):
-        scan = simulate_scan(world, pose, VLP32, noise=0.01, seed=k, n_steps=48)
-        pad = np.full((P, 4), np.inf, dtype=np.float32)
-        pad[: min(len(scan), P)] = scan[:P]
-        frames.append(pad)
-    batch = [np.stack([frames[k]] * S) for k in range(len(frames))]
+    if batch is None:
+        batch = _multistream_frames(cfg.scan_capacity, S)
 
-    ms = MultiStreamSlam(cfg, S)
+    # deferred mapping = the reference's async mapping_flag_ semantics
+    # batched: at most ONE stream's target rebuild per step, triggered
+    # keyframes stash and serve oldest-first, scans register against the
+    # slightly stale target meanwhile (parallel/multistream.py docstring).
+    # The all-streams vmapped rebuild costs several times the registration,
+    # so this is the production throughput configuration.
+    ms = MultiStreamSlam(cfg, S, deferred_mapping=True)
     # pre-stage all frames on device: raw-scan H2D (~5 MB/step) through the
     # remote-TPU relay costs ~250 ms/step and would be billed to the kernel;
     # a production pipeline double-buffers uploads behind compute
@@ -452,32 +569,78 @@ def _bench_multistream():
     for k in range(2):  # compile + bootstrap keyframes
         outs, stats = ms.step(staged[k])
     jax.block_until_ready(ms.states.pose)
+    # (a) device-true throughput: lax.scan the step over the buffered
+    # sequence — T x S scans chained in ONE executable, so the relay's flat
+    # ~20-30 ms per-dispatch cost (pure client overhead, absent on a
+    # co-located host) is paid once, not per step
+    seq = staged[2:] * 3  # 12 steps
+    iters, kfs = ms.run_sequence(seq)  # compile + finish pending serves
+    import numpy as _np
+
+    _np.asarray(ms.states.pose)  # fence: a DATA read, not block_until_ready
+    # (block_until_ready on a remote-relay buffer has been observed to
+    # return before execution completes — every timing below fences with an
+    # actual host read of a small output)
+    t0 = time.perf_counter()
+    reps = 4
+    for _ in range(reps):
+        iters, kfs = ms.run_sequence(seq)
+    _np.asarray(ms.states.pose)
+    dt = (time.perf_counter() - t0) / (reps * len(seq))
+    n_kf = int(_np.asarray(kfs).sum())
+
+    # (b) online rate: one host dispatch per scan batch (relay-floor bound)
     t0 = time.perf_counter()
     n_steps = 0
     for _ in range(3):
         for k in range(2, len(staged)):
             outs, stats = ms.step(staged[k])
             n_steps += 1
-    jax.block_until_ready(ms.states.pose)
-    dt = (time.perf_counter() - t0) / n_steps
-    return {
+    _np.asarray(ms.states.pose)
+    dt_online = (time.perf_counter() - t0) / n_steps
+
+    out = {
         "streams": S,
-        "step_ms": round(1000 * dt, 2),
+        "step_ms": round(1000 * dt, 3),
         "scans_per_sec_aggregate": round(S / dt, 1),
-        "mean_iterations": round(float(stats.mean_iterations), 1),
-        "note": "every step includes the branchless per-stream target rebuild; "
-                "scan upload pre-staged (overlappable H2D excluded)",
+        "online_step_ms": round(1000 * dt_online, 2),
+        "online_scans_per_sec": round(S / dt_online, 1),
+        "mean_iterations": round(float(_np.asarray(iters).mean()), 1),
+        "keyframes_per_step": round(n_kf / (reps * len(seq)), 2),
+        "note": "deferred mapping: <=1 target rebuild/step (reference async "
+                "mapping_flag_ semantics); step_ms = lax.scan device rate, "
+                "online_* = per-dispatch through the TPU relay",
     }
+    if cpu_pre is None:
+        cpu_pre = _multistream_cpu_prework()
+    if cpu_pre.get("available"):
+        cpu_rate = cpu_pre["scans_per_sec_1thread"]
+        out["cpu_scans_per_sec_1thread"] = cpu_rate
+        out["cpu_ms_per_scan_1thread"] = cpu_pre["ms_per_scan_1thread"]
+        # one chip's 8 streams vs 8 CPU threads each running one stream
+        # (linear scaling assumed for the CPU — generous to it)
+        out["aggregate_vs_8x_cpu_1thread"] = round(
+            out["scans_per_sec_aggregate"] / (8.0 * cpu_rate), 2)
+        out["aggregate_vs_1x_cpu_1thread"] = round(
+            out["scans_per_sec_aggregate"] / cpu_rate, 2)
+    return out
 
 
 def main():
     t_start = time.monotonic()
-    # hard wall-clock budget for the whole run: secondary sections are
-    # skipped once exceeded so the process always exits in the driver budget
-    # (observed driver allowance: BENCH_r03 was still alive at +585 s —
-    # 580 keeps a safety margin; with pre-staged fixtures the whole report
-    # fits well inside it)
+    # wall-clock budget for the whole run; secondary sections are skipped
+    # once exceeded so a normal run exits inside the driver allowance
+    # (observed: BENCH_r03 was still alive at +585 s)
     budget_s = float(os.environ.get("BENCH_BUDGET_S", "580"))
+    # ...BUT the remote-TPU relay's first-touch latency is wildly variable
+    # (observed same-image spread: first device put 6.5 s vs 410 s minutes
+    # apart). A pre-headline stall must not starve every section — that is
+    # how rounds 2-4 kept shipping a headline with six skipped sections.
+    # Sections therefore get a guaranteed floor measured AFTER the headline
+    # emit. Overrunning budget_s is safe data-wise: the cumulative JSON line
+    # is re-emitted after every section and the driver parses the LAST line
+    # even on a timeout kill (same contract as the bootstrap line below).
+    section_floor_s = float(os.environ.get("BENCH_SECTION_FLOOR_S", "420"))
 
     def stamp(msg):
         # stderr progress marks: the remote-TPU relay's compile/first-touch
@@ -498,16 +661,75 @@ def main():
                             "stalled) — see stderr stamps"},
     }), flush=True)
 
+    import threading
+
     import jax
     import jax.numpy as jnp
 
+    import lidarslam_ros2_tpu as pkg
     from lidarslam_ros2_tpu.models.registration import (
         NDTConfig,
         ndt_align,
         ndt_build_target,
     )
 
-    stamp("imports done")
+    # Persistent XLA compilation cache (explicit opt-in; see
+    # lidarslam_ros2_tpu.enable_compilation_cache). The cache dir is COMMITTED
+    # to the repo: the TPU executables behind the headline + every section are
+    # pre-compiled artifacts, so a cold driver image skips the 100-200 s
+    # per-program XLA compiles that starved rounds 2-3 of their sections.
+    # TPU executables are keyed by jaxlib version + device kind — unlike the
+    # XLA:CPU AOT hazard, loading them on another host of the same TPU type is
+    # the supported deployment path. Override/disable: LIDARSLAM_JAX_CACHE.
+    cache = pkg.enable_compilation_cache(
+        os.environ.get(
+            "LIDARSLAM_JAX_CACHE",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache"),
+        )
+    )
+    stamp(f"imports done (compilation cache: {cache})")
+
+    # The remote-TPU relay's first touch (backend attach + first device put)
+    # has been observed to take 6.5 s OR ~420 s on the same image minutes
+    # apart — round 3 lost every bench section to it. Attach in a background
+    # thread and spend the wait on the host-only halves of the sections
+    # (native-CPU NDT baseline, CPU odometry replay, course generation):
+    # the wait is network-bound, so the single core is free.
+    attach_info = {}
+
+    def _attach():
+        t0 = time.monotonic()
+        try:
+            jax.device_put(np.float32(0.0)).block_until_ready()
+            attach_info["attach_s"] = round(time.monotonic() - t0, 1)
+        except Exception as e:  # surfaced after join
+            attach_info["error"] = f"{type(e).__name__}: {e}"
+
+    attach_thread = threading.Thread(target=_attach, daemon=True)
+    attach_thread.start()
+
+    pre = {}
+    if os.environ.get("BENCH_QUICK") != "1":
+        for key, fn in (
+            ("cpu_ndt", lambda: _cpu_ndt_prework()),
+            ("ate_parity", _ate_parity_prework),
+            ("multistream", lambda: _multistream_frames(32768, 8)),
+            ("multistream_cpu", _multistream_cpu_prework),
+            ("full_slam", _full_slam_scans),
+            ("long_course", _long_course_prework),
+        ):
+            try:
+                pre[key] = fn()
+                stamp(f"prework {key} done")
+            except Exception as e:
+                stamp(f"prework {key} failed: {type(e).__name__}: {e}")
+    attach_thread.join()
+    if "error" in attach_info:
+        stamp(f"TPU attach FAILED: {attach_info['error']}")
+        raise RuntimeError(attach_info["error"])
+    stamp(f"TPU attached ({attach_info.get('attach_s')}s)")
+
     window, source, true_pose = _vlp32_window()
     n_src = int(source.count())
     stamp("fixtures staged")
@@ -533,13 +755,13 @@ def main():
         # runtime iteration cap: 10- and 40-iter calls share ONE compile
         mi = jnp.int32(iters)
         res = ndt_align(cfg, target, source, guess, mi)  # warm-up/compile
-        jax.block_until_ready(res.T)
+        np.asarray(res.T)
         assert int(res.iterations) == iters
         ts = []
         for _ in range(10):
             t0 = time.perf_counter()
             res = ndt_align(cfg, target, source, guess, mi)
-            jax.block_until_ready(res.T)
+            np.asarray(res.T)  # DATA-read fence (see multistream note)
             ts.append(time.perf_counter() - t0)
         return float(np.median(ts))
 
@@ -587,18 +809,28 @@ def main():
     # overrun must not lose the headline. The line is RE-EMITTED after every
     # section (driver parses the last JSON line in the tail), and each section
     # runs under a SIGALRM wall-clock cap so no single section can blow the
-    # overall budget.
+    # deadline on its own. Ordered by value-per-second — cheap sections that
+    # carry BASELINE claims (measured CPU ratio, multistream throughput, GICP)
+    # run first so a squeezed run still lands them; the two expensive
+    # course-replay sections go last.
+    t_sections = time.monotonic()
+    section_deadline = max(
+        t_start + budget_s, t_sections + section_floor_s
+    )
     if os.environ.get("BENCH_QUICK") != "1":
         for key, fn in (
             ("cpu_ndt_baseline", lambda: _bench_cpu_ndt(
-                window, source, np.asarray(guess), ms_per_iter)),
-            ("full_slam", _bench_full_slam),
-            ("ate_parity", _bench_ate_parity),
-            ("multistream", _bench_multistream),
+                pre.get("cpu_ndt") or _cpu_ndt_prework(), ms_per_iter)),
+            ("multistream",
+             lambda: _bench_multistream(pre.get("multistream"),
+                                        pre.get("multistream_cpu"))),
             ("gicp", lambda: _bench_gicp(window, source, guess)),
-            ("long_course", _bench_long_course),
+            ("ate_parity", lambda: _bench_ate_parity(pre.get("ate_parity"))),
+            ("full_slam", lambda: _bench_full_slam(pre.get("full_slam"))),
+            ("long_course",
+             lambda: _bench_long_course(pre.get("long_course"))),
         ):
-            left = budget_s - (time.monotonic() - t_start)
+            left = section_deadline - time.monotonic()
             if left < 30.0:
                 detail[key] = {"skipped": f"bench budget exhausted ({left:.0f}s left)"}
                 stamp(f"section {key} skipped ({left:.0f}s left)")
@@ -606,7 +838,7 @@ def main():
             stamp(f"section {key} starting ({left:.0f}s left)")
             t_sec = time.monotonic()
             try:
-                detail[key] = _run_capped(fn, min(left - 10.0, 240.0))
+                detail[key] = _run_capped(fn, min(left - 10.0, 280.0))
             except _SectionTimeout:
                 detail[key] = {"error": "section wall-clock cap hit"}
             except Exception as e:  # pragma: no cover

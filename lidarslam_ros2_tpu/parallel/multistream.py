@@ -15,7 +15,19 @@ sequences vmapped on one TPU"):
 * per-stream keyframe insertion is data-dependent: the batched step computes
   the rebuilt state for every stream and selects per stream
   (``where(need_kf)``) — branchless, XLA-friendly, and the rebuild cost is
-  amortized across the batch.
+  amortized across the batch;
+* ``deferred_mapping=True`` replaces the all-streams rebuild with the
+  reference's ASYNC mapping semantics (``mapping_flag_`` + detached thread,
+  ``scanmatcher_component.cpp:422-434``), batched: a triggered keyframe is
+  STASHED per stream (cloud + trigger pose), at most ONE stream's target is
+  rebuilt per step (oldest pending first), and a stream with a pending
+  keyframe suppresses re-triggering exactly like ``mapping_flag_``. Scans
+  keep registering against the slightly stale target meanwhile — the same
+  staleness window the reference's mapping thread produces. The vmapped
+  all-streams rebuild costs several times the registration itself, so on
+  keyframe-heavy workloads this mode is the throughput configuration
+  (bench.py ``multistream``); under ``shard_map`` the budget is one rebuild
+  per DEVICE per step.
 """
 
 from __future__ import annotations
@@ -49,6 +61,33 @@ class FleetStats(NamedTuple):
     total_keyframes: jnp.ndarray  # i32 scalar
 
 
+class PendingKF(NamedTuple):
+    """Per-stream stashed keyframe awaiting its target rebuild (deferred
+    mapping mode) — the batched analogue of the reference's in-flight
+    ``std::packaged_task`` capture (cloud + pose at trigger time,
+    ``scanmatcher_component.cpp:427-434``)."""
+
+    xyz: jnp.ndarray  # f32[S, C, 3] filtered_raw at trigger
+    intensity: jnp.ndarray  # f32[S, C]
+    valid: jnp.ndarray  # bool[S, C]
+    pose: jnp.ndarray  # f32[S, 4, 4] pose at trigger
+    trans: jnp.ndarray  # f32[S] distance-since-last-keyframe at trigger
+    flag: jnp.ndarray  # bool[S] pending (== the reference's mapping_flag_)
+    age: jnp.ndarray  # i32[S] steps spent pending (serve oldest first)
+
+
+def _empty_pending(n: int, cap: int) -> PendingKF:
+    return PendingKF(
+        xyz=jnp.zeros((n, cap, 3), jnp.float32),
+        intensity=jnp.zeros((n, cap), jnp.float32),
+        valid=jnp.zeros((n, cap), bool),
+        pose=jnp.tile(jnp.eye(4, dtype=jnp.float32), (n, 1, 1)),
+        trans=jnp.zeros((n,), jnp.float32),
+        flag=jnp.zeros((n,), bool),
+        age=jnp.zeros((n,), jnp.int32),
+    )
+
+
 def _register_phase(
     cfg: FrontendConfig, state: FrontendState, raw: PointCloud, imu: ImuHistory
 ):
@@ -64,7 +103,7 @@ def _register_phase(
     # (the batched analogue of the reference's initializeMap, :262-294)
     uninitialized = ~jnp.any(state.kf_slot_used)
     insert = out.need_keyframe | uninitialized
-    return state, out._replace(need_keyframe=insert), filtered_raw
+    return state, out._replace(need_keyframe=insert), filtered_raw, uninitialized
 
 
 def _batched_step_fn(cfg: FrontendConfig):
@@ -78,7 +117,7 @@ def _batched_step_fn(cfg: FrontendConfig):
     vrebuild = jax.vmap(partial(keyframe_update, cfg))
 
     def step(states, raws, imus):
-        states, outs, filtered = vreg(states, raws, imus)
+        states, outs, filtered, _uninit = vreg(states, raws, imus)
         insert = outs.need_keyframe
 
         def do_rebuild(args):
@@ -98,6 +137,204 @@ def _batched_step_fn(cfg: FrontendConfig):
         return states, outs
 
     return step
+
+
+def _serve_one(cfg: FrontendConfig, states: FrontendState, pend: PendingKF):
+    """Rebuild the OLDEST pending stream's target — exactly one unbatched
+    ``keyframe_update`` (the per-step mapping-worker budget). The insert runs
+    with the TRIGGER-time pose/trans (the reference captures both when it
+    spawns the mapping thread); the live pose and the distance accumulated
+    since the trigger are restored afterwards."""
+    j = jnp.argmax(jnp.where(pend.flag, pend.age, jnp.int32(-1)))
+    st_j = jax.tree.map(
+        lambda a: jax.lax.dynamic_index_in_dim(a, j, 0, keepdims=False), states
+    )
+    cloud = PointCloud(
+        xyz=pend.xyz[j], intensity=pend.intensity[j], valid=pend.valid[j]
+    )
+    live_pose = st_j.pose
+    rebuilt = keyframe_update(
+        cfg, st_j._replace(pose=pend.pose[j], trans=pend.trans[j]), cloud
+    )
+    rebuilt = rebuilt._replace(
+        pose=live_pose,
+        trans=jnp.linalg.norm(
+            se3.translation(live_pose) - se3.translation(pend.pose[j])
+        ),
+    )
+    states = jax.tree.map(
+        lambda a, b: jax.lax.dynamic_update_index_in_dim(a, b, j, 0),
+        states,
+        rebuilt,
+    )
+    pend = pend._replace(
+        flag=pend.flag.at[j].set(False), age=pend.age.at[j].set(0)
+    )
+    return states, pend
+
+
+def _deferred_step_fn(cfg: FrontendConfig):
+    """states, pend, raws, imus -> (states, pend, outs). Registration is
+    vmapped as usual; keyframes are stashed per stream and served one per
+    step by :func:`_serve_one` under a top-level ``lax.cond`` (skipped
+    entirely when nothing is pending)."""
+    vreg = jax.vmap(partial(_register_phase, cfg))
+    vrebuild = jax.vmap(partial(keyframe_update, cfg))
+
+    def step(states, pend, raws, imus):
+        states, outs, filtered, uninit = vreg(states, raws, imus)
+
+        # bootstrap stays SYNCHRONOUS (the reference's initializeMap runs
+        # inline on the first scan, scanmatcher_component.cpp:220-225, not
+        # on the mapping thread): a stream registering against an empty
+        # target for several steps would drift beyond the convergence basin
+        def do_boot(args):
+            states, filtered = args
+            rebuilt = vrebuild(states, filtered)
+            return jax.tree.map(
+                lambda a, b: jnp.where(
+                    jnp.reshape(uninit, uninit.shape + (1,) * (a.ndim - 1)),
+                    b, a,
+                ),
+                states,
+                rebuilt,
+            )
+
+        states = jax.lax.cond(
+            jnp.any(uninit), do_boot, lambda args: args[0], (states, filtered)
+        )
+        # mapping_flag_ gating (scanmatcher_component.cpp:422): a stream
+        # with an in-flight keyframe cannot re-trigger; distance keeps
+        # accumulating and re-fires the step after its rebuild lands
+        trigger = outs.need_keyframe & ~pend.flag & ~uninit
+        t3 = trigger[:, None, None]
+        t2 = trigger[:, None]
+        pend = PendingKF(
+            xyz=jnp.where(t3, filtered.xyz, pend.xyz),
+            intensity=jnp.where(t2, filtered.intensity, pend.intensity),
+            valid=jnp.where(t2, filtered.valid, pend.valid),
+            pose=jnp.where(t3, outs.pose, pend.pose),
+            trans=jnp.where(trigger, outs.trans, pend.trans),
+            flag=pend.flag | trigger,
+            age=jnp.where(pend.flag | trigger, pend.age + 1, 0),
+        )
+        # need_keyframe reports SCHEDULED inserts (not suppressed re-fires)
+        outs = outs._replace(need_keyframe=trigger)
+        states, pend = jax.lax.cond(
+            jnp.any(pend.flag),
+            lambda a: _serve_one(cfg, *a),
+            lambda a: a,
+            (states, pend),
+        )
+        return states, pend, outs
+
+    return step
+
+
+def make_deferred_step(cfg: FrontendConfig, mesh: Optional[Mesh] = None):
+    """Jitted deferred-mapping step (see module docstring). Returns
+    ``step(states, pend, raws, imus) -> (states, pend, outputs, FleetStats)``.
+    With a mesh, the one-rebuild budget applies per DEVICE."""
+    dstep = _deferred_step_fn(cfg)
+
+    if mesh is None:
+
+        @jax.jit
+        def step(states, pend, raws, imus):
+            states, pend, outs = dstep(states, pend, raws, imus)
+            stats = FleetStats(
+                mean_iterations=jnp.mean(outs.iterations.astype(jnp.float32)),
+                max_trans=jnp.max(outs.trans),
+                total_keyframes=jnp.sum(outs.need_keyframe.astype(jnp.int32)),
+            )
+            return states, pend, outs, stats
+
+        return step
+
+    axis = mesh.axis_names[0]
+
+    def local_step(states, pend, raws, imus):
+        states, pend, outs = dstep(states, pend, raws, imus)
+        n_total = jax.lax.psum(
+            jnp.asarray(outs.iterations.shape[0], jnp.float32), axis
+        )
+        stats = FleetStats(
+            mean_iterations=jax.lax.psum(
+                jnp.sum(outs.iterations.astype(jnp.float32)), axis
+            )
+            / n_total,
+            max_trans=jax.lax.pmax(jnp.max(outs.trans), axis),
+            total_keyframes=jax.lax.psum(
+                jnp.sum(outs.need_keyframe.astype(jnp.int32)), axis
+            ),
+        )
+        return states, pend, outs, stats
+
+    sharded = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis)),
+        out_specs=(P(axis), P(axis), P(axis), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def make_sequence_runner(cfg: FrontendConfig):
+    """Device-resident batch mapping: ``lax.scan`` the deferred step over a
+    pre-staged frame sequence — T timesteps x S streams chained in ONE
+    executable. This is the offline/buffered fleet-mapping mode AND the
+    honest aggregate-throughput measurement: per-step host dispatch through
+    a remote-TPU relay costs a flat ~20-30 ms that has nothing to do with
+    the kernel (bench.py reports both).
+
+    Returns ``run(states, pend, xyz[T,S,P,3], intensity[T,S,P],
+    valid[T,S,P]) -> (states, pend, iterations[T,S], scheduled[T,S])``.
+    """
+    dstep = _deferred_step_fn(cfg)
+
+    def run(states, pend, xyz, intensity, valid):
+        imus = _empty_imu_batch(xyz.shape[1])
+
+        def body(carry, frame):
+            states, pend = carry
+            fx, fi, fv = frame
+            raw = PointCloud(xyz=fx, intensity=fi, valid=fv)
+            states, pend, outs = dstep(states, pend, raw, imus)
+            return (states, pend), (outs.iterations, outs.need_keyframe)
+
+        (states, pend), (iters, kfs) = jax.lax.scan(
+            body, (states, pend), (xyz, intensity, valid)
+        )
+        return states, pend, iters, kfs
+
+    return jax.jit(run)
+
+
+def make_drain_step(cfg: FrontendConfig, mesh: Optional[Mesh] = None):
+    """Serve one pending rebuild (per device) without consuming a scan —
+    the shutdown analogue of the reference joining its mapping thread."""
+
+    def drain(states, pend):
+        return jax.lax.cond(
+            jnp.any(pend.flag),
+            lambda a: _serve_one(cfg, *a),
+            lambda a: a,
+            (states, pend),
+        )
+
+    if mesh is None:
+        return jax.jit(drain)
+    axis = mesh.axis_names[0]
+    return jax.jit(
+        jax.shard_map(
+            drain,
+            mesh=mesh,
+            in_specs=(P(axis), P(axis)),
+            out_specs=(P(axis), P(axis)),
+            check_vma=False,
+        )
+    )
 
 
 def make_batched_step(cfg: FrontendConfig, mesh: Optional[Mesh] = None):
@@ -161,16 +398,34 @@ class MultiStreamSlam:
         n_streams: int,
         mesh: Optional[Mesh] = None,
         initial_poses: Optional[np.ndarray] = None,
+        deferred_mapping: bool = False,
     ):
         self.cfg = cfg
         self.n = n_streams
         self.mesh = mesh
+        self.deferred = deferred_mapping
         if mesh is not None and n_streams % mesh.devices.size != 0:
             raise ValueError(
                 f"n_streams={n_streams} must divide over {mesh.devices.size} devices"
             )
-        self._step = make_batched_step(cfg, mesh)
+        if deferred_mapping:
+            self._step = make_deferred_step(cfg, mesh)
+            self._drain = make_drain_step(cfg, mesh)
+            self.pend = self._shard(_empty_pending(n_streams, cfg.scan_capacity))
+        else:
+            self._step = make_batched_step(cfg, mesh)
         self.states = self._init_states(initial_poses)
+
+    def _shard(self, tree):
+        if self.mesh is None:
+            return tree
+        axis = self.mesh.axis_names[0]
+        return jax.tree.map(
+            lambda x: jax.device_put(
+                x, NamedSharding(self.mesh, P(axis, *([None] * (x.ndim - 1))))
+            ),
+            tree,
+        )
 
     def _init_states(self, initial_poses) -> FrontendState:
         from ..odometry.frontend import ScanMatcher
@@ -182,15 +437,7 @@ class MultiStreamSlam:
                 sm.set_initial_pose(initial_poses[k])
             protos.append(sm._empty_state())
         states = jax.tree.map(lambda *xs: jnp.stack(xs), *protos)
-        if self.mesh is not None:
-            axis = self.mesh.axis_names[0]
-            states = jax.tree.map(
-                lambda x: jax.device_put(
-                    x, NamedSharding(self.mesh, P(axis, *([None] * (x.ndim - 1))))
-                ),
-                states,
-            )
-        return states
+        return self._shard(states)
 
     def stage(self, scans: np.ndarray) -> PointCloud:
         """Convert one (n_streams, P, 3|4) host batch to a device-resident
@@ -215,8 +462,46 @@ class MultiStreamSlam:
         raws = scans if isinstance(scans, PointCloud) else self.stage(scans)
         if imus is None:
             imus = _empty_imu_batch(self.n)
-        self.states, outs, stats = self._step(self.states, raws, imus)
+        if self.deferred:
+            self.states, self.pend, outs, stats = self._step(
+                self.states, self.pend, raws, imus
+            )
+        else:
+            self.states, outs, stats = self._step(self.states, raws, imus)
         return outs, stats
+
+    def run_sequence(self, frames):
+        """Deferred vmap mode: process a buffered sequence (list of staged
+        ``PointCloud`` batches or (S, P, 3|4) host arrays) on device in ONE
+        dispatch via :func:`make_sequence_runner`. Returns
+        (iterations[T, S], scheduled_keyframes[T, S])."""
+        if not self.deferred or self.mesh is not None:
+            raise NotImplementedError(
+                "run_sequence requires deferred_mapping=True and no mesh"
+            )
+        if getattr(self, "_runner", None) is None:
+            self._runner = make_sequence_runner(self.cfg)
+        clouds = [
+            f if isinstance(f, PointCloud) else self.stage(f) for f in frames
+        ]
+        xyz = jnp.stack([c.xyz for c in clouds])
+        intensity = jnp.stack([c.intensity for c in clouds])
+        valid = jnp.stack([c.valid for c in clouds])
+        self.states, self.pend, iters, kfs = self._runner(
+            self.states, self.pend, xyz, intensity, valid
+        )
+        return iters, kfs
+
+    def drain(self) -> int:
+        """Deferred mode: serve every still-pending keyframe rebuild (one per
+        device per call). Returns the number of drain steps run."""
+        if not self.deferred:
+            return 0
+        n = 0
+        while bool(np.asarray(self.pend.flag).any()):
+            self.states, self.pend = self._drain(self.states, self.pend)
+            n += 1
+        return n
 
     def poses(self) -> np.ndarray:
         return np.asarray(self.states.pose)

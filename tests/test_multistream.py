@@ -107,3 +107,101 @@ def test_multistream_rejects_bad_shard_count():
     mesh = Mesh(np.array(jax.devices()[:8]), ("stream",))
     with pytest.raises(ValueError):
         MultiStreamSlam(_tiny_cfg(), 12, mesh=mesh)
+
+
+def test_multistream_deferred_mapping_tracks():
+    """Deferred mode (one rebuild/step, mapping_flag_ semantics): streams
+    still track ground truth, suppressed re-triggers don't lose keyframes,
+    and drain() serves every pending rebuild."""
+    world = World(seed=9)
+    n = 4
+    offsets = [np.array([2.0 * k, 0.0, 1.5], dtype=np.float32) for k in range(n)]
+    init = []
+    for off in offsets:
+        T = np.eye(4, dtype=np.float32)
+        T[:3, 3] = off
+        init.append(T)
+    ms = MultiStreamSlam(
+        _tiny_cfg(), n, initial_poses=np.stack(init), deferred_mapping=True
+    )
+    gt_steps = 8  # far enough for one distance-triggered keyframe per stream
+    kf_scheduled = 0
+    for t in range(gt_steps):
+        poses = []
+        for off in offsets:
+            T = np.eye(4, dtype=np.float32)
+            T[:3, 3] = off + [0.25 * t, 0.0, 0.0]
+            poses.append(T)
+        batch = _scan_batch(world, poses, t)
+        outs, stats = ms.step(batch)
+        kf_scheduled += int(stats.total_keyframes)
+    assert kf_scheduled >= n  # every stream bootstrapped (+ distance kfs)
+    drained = ms.drain()
+    assert not bool(np.asarray(ms.pend.flag).any())
+    est = ms.poses()
+    for k in range(n):
+        expect = offsets[k] + [0.25 * (gt_steps - 1), 0.0, 0.0]
+        err = np.linalg.norm(est[k][:3, 3] - expect)
+        assert err < 0.2, (k, est[k][:3, 3], expect, drained)
+    # every stream ended up with its bootstrap keyframe inserted
+    assert bool(np.asarray(ms.states.kf_slot_used)[:, 0].all())
+
+
+def test_multistream_deferred_mesh_smoke():
+    """Deferred mode under shard_map: one rebuild budget per DEVICE; final
+    poses match the vmap run when streams trigger in disjoint steps."""
+    assert jax.device_count() >= 8
+    mesh = Mesh(np.array(jax.devices()[:8]), ("stream",))
+    world = World(seed=5)
+    cfg = _tiny_cfg()
+    init = []
+    for k in range(8):
+        T = np.eye(4, dtype=np.float32)
+        T[:3, 3] = [3.0 * k, 0.0, 1.5]
+        init.append(T)
+    init = np.stack(init)
+    ms = MultiStreamSlam(
+        cfg, 8, mesh=mesh, initial_poses=init, deferred_mapping=True
+    )
+    for t in range(2):
+        poses = []
+        for k in range(8):
+            T = np.eye(4, dtype=np.float32)
+            T[:3, 3] = [3.0 * k + 0.2 * t, 0.0, 1.5]
+            poses.append(T)
+        outs, stats = ms.step(_scan_batch(world, poses, t))
+    ms.drain()
+    # with 8 devices x 1 stream each, every bootstrap keyframe lands step 0
+    assert bool(np.asarray(ms.states.kf_slot_used)[:, 0].all())
+    assert len({d.id for d in ms.states.pose.sharding.device_set}) == 8
+
+
+def test_multistream_run_sequence_matches_step_loop():
+    """The lax.scan sequence runner is the same program as the per-step
+    deferred loop: identical final poses and keyframe schedule."""
+    world = World(seed=9)
+    n = 2
+    cfg = _tiny_cfg()
+    frames = []
+    for t in range(5):
+        poses = []
+        for k in range(n):
+            T = np.eye(4, dtype=np.float32)
+            T[:3, 3] = [2.0 * k + 0.3 * t, 0.0, 1.5]
+            poses.append(T)
+        frames.append(_scan_batch(world, poses, t))
+    init = np.stack([np.eye(4, dtype=np.float32)] * n)
+    for k in range(n):
+        init[k][:3, 3] = [2.0 * k, 0.0, 1.5]
+
+    ms_loop = MultiStreamSlam(cfg, n, initial_poses=init, deferred_mapping=True)
+    kf_loop = 0
+    for f in frames:
+        outs, stats = ms_loop.step(f)
+        kf_loop += int(stats.total_keyframes)
+
+    ms_seq = MultiStreamSlam(cfg, n, initial_poses=init, deferred_mapping=True)
+    iters, kfs = ms_seq.run_sequence(frames)
+    assert kfs.shape == (5, n)
+    assert int(np.asarray(kfs).sum()) == kf_loop
+    np.testing.assert_allclose(ms_seq.poses(), ms_loop.poses(), atol=1e-5)
