@@ -1,6 +1,6 @@
 """lidarslam_ros2_tpu — a TPU-native LiDAR-SLAM framework.
 
-A ground-up JAX/XLA/Pallas re-design with the capabilities of
+A ground-up JAX/XLA re-design with the capabilities of
 rsasaki0109/lidarslam_ros2 (frontend NDT/GICP scan-to-submap odometry +
 backend loop-closure pose-graph SLAM), built for TPU hardware: fixed-shape
 functional state, voxel-hash grids instead of kd-trees, whole solver loops
