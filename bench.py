@@ -223,9 +223,15 @@ def _bench_gicp(window, source, guess):
     }
 
 
-def _bench_full_slam(scans=None):
+def _bench_full_slam(scans=None, quick=False):
     """BASELINE config 3: full SLAM (frontend + async backend with loop
-    closures + map_save); per-scan wall-time distribution."""
+    closures + map_save); per-scan wall-time distribution.
+
+    The app is ``warmup()``-ed first (every XLA program the run can touch is
+    compiled before pacing starts — the reference's C++ is AOT-compiled, so
+    this is the apples-to-apples real-time configuration); compile cost is
+    reported separately as ``warmup_s``, and the latency distribution covers
+    EVERY paced scan (nothing dropped as 'compile scans')."""
     from lidarslam_ros2_tpu.api.lidarslam import LidarSlam
     from lidarslam_ros2_tpu.graph.backend import BackendConfig
     from lidarslam_ros2_tpu.models.registration import NDTConfig
@@ -279,20 +285,22 @@ def _bench_full_slam(scans=None):
             simulate_scan(world, gt[k], VLP16, noise=0.01, seed=100 + k)
             for k in range(n + 1)
         ]
+    if quick:  # degraded-budget mode: half the course, same measurements
+        scans = scans[: (n + 1) // 2]
+    t0 = time.perf_counter()
+    warm = app.warmup(max_keyframes=64)
+    warmup_s = time.perf_counter() - t0
     period = 0.1
     lat = []
-    t_paced = None
+    t_paced = time.perf_counter()
     try:
         for k, scan in enumerate(scans):
             t0 = time.perf_counter()
             app.add_scan(scan, stamp=period * k)
             t1 = time.perf_counter()
             lat.append(t1 - t0)
-            if k >= 2:  # pace only after the compile scans
-                if t_paced is None:
-                    t_paced = t0  # realtime factor over the paced region only
-                time.sleep(max(0.0, (t0 + period) - time.perf_counter()))
-        wall = time.perf_counter() - (t_paced or time.perf_counter())
+            time.sleep(max(0.0, (t0 + period) - time.perf_counter()))
+        wall = time.perf_counter() - t_paced
         app.finish()
         loops = len(app.graph_based_slam.engine.loop_edges)
         stage_timing = app.scan_matcher.engine.timer.summary()
@@ -302,10 +310,12 @@ def _bench_full_slam(scans=None):
         )
     finally:
         app.close()
-    lat = np.asarray(lat[2:])  # drop compile scans
+    lat = np.asarray(lat)  # warmup() ran: every scan is a steady-state scan
     return {
-        "scans": n + 1,
+        "scans": len(scans),
         "loop_closures": loops,
+        "warmup_s": round(warmup_s, 1),
+        "warmup_split": {k: round(v, 1) for k, v in warm.items()},
         "scan_ms_p50": round(1000 * float(np.percentile(lat, 50)), 2),
         "scan_ms_p99": round(1000 * float(np.percentile(lat, 99)), 2),
         "scan_ms_max": round(1000 * float(lat.max()), 2),
@@ -314,6 +324,61 @@ def _bench_full_slam(scans=None):
         "backend": "async_worker_thread",
         "stage_timing": stage_timing,
     }
+
+
+def _bench_pose_graph_solve(quick=False):
+    """Backend solve latency on device, compile vs warm split (the reference
+    runs g2o optimize(10) live between scans, graph_based_slam_component.cpp
+    :318): a 97-submap hdl_400-class graph and a 3k-vertex Tsukuba-class
+    graph, each with a handful of loop edges, solved at the exact static
+    configuration the backend uses (10 GN iters, band 5, DCS kernel off)."""
+    import jax
+
+    from lidarslam_ros2_tpu.graph.pose_graph import (
+        build_graph, optimize_pose_graph,
+    )
+
+    out = {}
+    sizes = (97,) if quick else (97, 3000)
+    for n in sizes:
+        # noisy circle chain + 2 loop closures back to the start
+        th = np.linspace(0, 2 * np.pi, n).astype(np.float32)
+        poses = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
+        poses[:, 0, 3] = 30.0 * np.cos(th)
+        poses[:, 1, 3] = 30.0 * np.sin(th)
+        rng = np.random.default_rng(0)
+        poses[:, :3, 3] += rng.normal(scale=0.05, size=(n, 3)).astype(np.float32)
+        pairs = np.array([[0, n - 1], [1, n - 2]], dtype=np.int32)
+        rel = np.stack([
+            np.linalg.inv(poses[i]) @ poses[j] for i, j in pairs
+        ]).astype(np.float32)
+        graph = build_graph(poses, 5, pairs, rel)
+        jax.block_until_ready(graph.poses)
+
+        def solve():
+            p, chi2 = optimize_pose_graph(
+                graph, gn_iters=10, cg_iters=100, huber_delta=0.0,
+                band_width=5, robust_kernel="dcs",
+            )
+            np.asarray(chi2)  # DATA-read fence
+            return p
+
+        t0 = time.perf_counter()
+        solve()
+        first_ms = 1000 * (time.perf_counter() - t0)
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            solve()
+            ts.append(time.perf_counter() - t0)
+        warm_ms = 1000 * float(np.median(ts))
+        out[f"n{n}"] = {
+            "vertices": n,
+            "first_call_ms": round(first_ms, 1),  # compile (+1 run)
+            "warm_solve_ms": round(warm_ms, 2),
+            "compile_ms": round(first_ms - warm_ms, 1),
+        }
+    return out
 
 
 def _cpu_ndt_prework():
@@ -354,7 +419,8 @@ def _long_course_prework():
 
 def _ate_parity_prework():
     """Host-only half of the ATE parity section: stage the course and run
-    the native-CPU odometry replay (no TPU dispatch anywhere)."""
+    the native-CPU NDT replay AND the CPU GICP oracle replay (kd-tree 20-NN
+    covariances, utils/cpu_slam.CpuGicpOdometry) — no TPU dispatch."""
     from lidarslam_ros2_tpu.utils import cpu_slam
 
     scans, gt, fcfg, cpu_kwargs = cpu_slam.parity_setup()
@@ -362,9 +428,22 @@ def _ate_parity_prework():
     for s in scans:
         cpu.process_scan(s)
     ate_cpu = cpu_slam.ate_rmse(cpu.get_path(), np.stack(gt))
+    gcfg = cpu_slam.parity_setup_gicp()
+    gicp_cpu = cpu_slam.CpuGicpOdometry(
+        initial_pose=gt[0],
+        max_correspondence_distance=gcfg.gicp.max_correspondence_distance,
+        trans_for_mapupdate=gcfg.trans_for_mapupdate,
+        vg_size_for_input=gcfg.vg_size_for_input,
+        vg_size_for_map=gcfg.vg_size_for_map,
+        num_targeted_cloud=gcfg.num_targeted_cloud,
+        max_iterations=gcfg.gicp.max_iterations,
+    )
+    for s in scans:
+        gicp_cpu.process_scan(s)
+    ate_gicp_cpu = cpu_slam.ate_rmse(gicp_cpu.get_path(), np.stack(gt))
     return {
         "scans": scans, "gt": gt, "fcfg": fcfg, "ate_cpu": ate_cpu,
-        "gcfg": cpu_slam.parity_setup_gicp(),
+        "gcfg": gcfg, "ate_gicp_cpu": ate_gicp_cpu,
     }
 
 
@@ -411,12 +490,19 @@ def _bench_ate_parity(pre=None):
         ate_gicp = cpu_slam.ate_rmse(smg.get_path(), gt_arr)
         out["ate_gicp_tpu_m"] = round(ate_gicp, 4)
         out["ate_gicp_over_ndt"] = round(ate_gicp / max(ate_tpu, 1e-9), 3)
+        # GICP's own CPU oracle (kd-tree 20-NN covariances — the PCL GICP
+        # covariance model the voxelized TPU design approximates)
+        ate_gicp_cpu = pre.get("ate_gicp_cpu")
+        if ate_gicp_cpu is not None:
+            out["ate_gicp_cpu_m"] = round(ate_gicp_cpu, 4)
+            out["ate_gicp_ratio_tpu_over_cpu"] = round(
+                ate_gicp / max(ate_gicp_cpu, 1e-9), 3)
     except Exception as e:  # GICP course failure must not lose the NDT rows
         out["gicp_error"] = f"{type(e).__name__}: {e}"
     return out
 
 
-def _bench_long_course(pre=None):
+def _bench_long_course(pre=None, quick=False):
     """Tsukuba-class long run (reference headline: "several kilometers ...
     in real time", /root/reference/README.md:19): 400 scans / 2 laps /
     ~107 m / ~107 keyframes through the FULL pipeline with the async
@@ -430,8 +516,11 @@ def _bench_long_course(pre=None):
     if pre is None:
         pre = cpu_slam.long_course_setup()
     scans, gt, fcfg, bcfg = pre
+    if quick:  # degraded-budget mode: one lap instead of two
+        scans, gt = scans[: len(scans) // 2], gt[: len(gt) // 2]
     app = LidarSlam(fcfg, bcfg, set_initial_pose=True, initial_pose=gt[0],
                     async_backend=True, use_modified_map=True)
+    app.warmup(max_keyframes=128)
     lat = []
     try:
         for k, s in enumerate(scans):
@@ -469,41 +558,48 @@ def _bench_long_course(pre=None):
     }
 
 
-def _multistream_frames(P, S):
-    """Host-only frame staging for the multistream section (prework)."""
+_MULTISTREAM_STEP = 0.5  # m/frame (KITTI-class inter-frame motion at 10 Hz
+# is ~1 m; 0.5 keeps the shared convergence basin with the CPU comparator)
+
+
+def _multistream_frames(P):
+    """Host-only frame staging (prework): 6 KITTI-class 64-beam frames for
+    ONE stream (BASELINE config 5 runs "8 concurrent 64-beam KITTI
+    sequences" — every stream replays the same sequence, so the bench
+    uploads one stream's frames and broadcasts across streams on device)."""
     from lidarslam_ros2_tpu.utils.synthetic import (
-        VLP32, World, line_trajectory, simulate_scan,
+        HDL64, World, line_trajectory, simulate_scan,
     )
 
     world = World(seed=3)
-    poses = line_trajectory(6, step=0.3)
+    poses = line_trajectory(6, step=_MULTISTREAM_STEP)
     frames = []
     for k, pose in enumerate(poses):
-        scan = simulate_scan(world, pose, VLP32, noise=0.01, seed=k, n_steps=48)
+        scan = simulate_scan(world, pose, HDL64, noise=0.01, seed=k, n_steps=48)
         pad = np.full((P, 4), np.inf, dtype=np.float32)
         pad[: min(len(scan), P)] = scan[:P]
         frames.append(pad)
-    return [np.stack([frames[k]] * S) for k in range(len(frames))]
+    return np.stack(frames)  # [T, P, 4]
 
 
 def _multistream_cpu_prework():
     """Host-only comparator for the multistream section: the SAME 6-frame
-    VLP-32 workload and frontend parameters through the native ndt_omp-class
-    CPU odometry loop (utils/cpu_slam.py), single thread. The multistream
-    claim is aggregate scans/s of 8 streams on one chip vs N x this number
-    on an N-core CPU — measuring the per-thread CPU rate makes that
-    comparison explicit (BASELINE config 5)."""
+    64-beam KITTI-class workload and frontend parameters through the native
+    ndt_omp-class CPU odometry loop (utils/cpu_slam.py), single thread. The
+    multistream claim is aggregate scans/s of S streams on one chip vs 8 x
+    this number on an 8-core CPU — measuring the per-thread CPU rate makes
+    that comparison explicit (BASELINE config 5)."""
     from lidarslam_ros2_tpu.utils import cpu_slam
     from lidarslam_ros2_tpu.utils.synthetic import (
-        VLP32, World, line_trajectory, simulate_scan,
+        HDL64, World, line_trajectory, simulate_scan,
     )
 
     if not cpu_slam.available():
         return {"available": False}
     world = World(seed=3)
-    poses = line_trajectory(6, step=0.3)
+    poses = line_trajectory(6, step=_MULTISTREAM_STEP)
     scans = [
-        simulate_scan(world, pose, VLP32, noise=0.01, seed=k, n_steps=48)
+        simulate_scan(world, pose, HDL64, noise=0.01, seed=k, n_steps=48)
         for k, pose in enumerate(poses)
     ]
     cpu = cpu_slam.CpuOdometry(
@@ -515,7 +611,7 @@ def _multistream_cpu_prework():
         cpu.process_scan(s)
     t0 = time.perf_counter()
     n = 0
-    for _ in range(3):
+    for _ in range(2):
         for s in scans[2:]:
             cpu.process_scan(s)
             n += 1
@@ -527,102 +623,128 @@ def _multistream_cpu_prework():
     }
 
 
-def _bench_multistream(batch=None, cpu_pre=None):
-    """BASELINE config 5: 8 concurrent odometry streams vmapped as ONE XLA
-    program on one chip. The single-stream frontend is gather/index-bound
-    with the chip idle most of each step — batching streams shares the
-    compiled program and fills the machine; this measures aggregate
-    throughput (the honest TPU win over multicore CPU, see PARITY.md)."""
+def _bench_multistream(frames=None, cpu_pre=None, quick=False):
+    """BASELINE config 5, run literally: concurrent 64-beam KITTI-class
+    odometry streams vmapped as ONE XLA program on one chip, measured as a
+    SCALING CURVE over 8/16/32 streams. The single-stream frontend is
+    gather/index-bound with the chip idle most of each step — batching
+    streams shares the compiled program and fills the machine; aggregate
+    scans/s is the honest TPU win over a multicore CPU (see PARITY.md)."""
     import jax
+    import jax.numpy as jnp
 
     from lidarslam_ros2_tpu.models.registration import NDTConfig
     from lidarslam_ros2_tpu.odometry.frontend import FrontendConfig
-    from lidarslam_ros2_tpu.parallel.multistream import MultiStreamSlam
+    from lidarslam_ros2_tpu.parallel.multistream import (
+        MultiStreamSlam, make_sequence_runner,
+    )
 
-    S = 8
     cfg = FrontendConfig(
-        ndt=NDTConfig(resolution=2.0, voxel_capacity=8192, max_iterations=20,
+        ndt=NDTConfig(resolution=2.0, voxel_capacity=16384, max_iterations=20,
                       compute_fitness=False),
         trans_for_mapupdate=1.0,
         vg_size_for_input=0.2,
         vg_size_for_map=0.1,
         num_targeted_cloud=5,
-        scan_capacity=32768,
-        input_capacity=8192,
-        keyframe_capacity=8192,
+        scan_capacity=131072,  # HDL-64: ~115k rays/frame
+        input_capacity=16384,
+        keyframe_capacity=16384,
+        keyframe_stats_capacity=8192,
     )
-    if batch is None:
-        batch = _multistream_frames(cfg.scan_capacity, S)
+    if frames is None:
+        frames = _multistream_frames(cfg.scan_capacity)
+    # ONE stream's frames go over the relay (~13 MB); the [T, S, P] batch is
+    # materialized device-side by a broadcast program per stream count
+    fx = jnp.asarray(frames[..., :3])
+    fi = jnp.asarray(frames[..., 3])
+    fv = jnp.asarray(
+        np.isfinite(frames[..., :3]).any(-1) & (np.abs(frames[..., 0]) < 1e7)
+    )
+    jax.block_until_ready(fx)
 
-    # deferred mapping = the reference's async mapping_flag_ semantics
-    # batched: at most ONE stream's target rebuild per step, triggered
-    # keyframes stash and serve oldest-first, scans register against the
-    # slightly stale target meanwhile (parallel/multistream.py docstring).
-    # The all-streams vmapped rebuild costs several times the registration,
-    # so this is the production throughput configuration.
-    ms = MultiStreamSlam(cfg, S, deferred_mapping=True)
-    # pre-stage all frames on device: raw-scan H2D (~5 MB/step) through the
-    # remote-TPU relay costs ~250 ms/step and would be billed to the kernel;
-    # a production pipeline double-buffers uploads behind compute
-    staged = [ms.stage(b) for b in batch]
-    jax.block_until_ready(staged)
-    for k in range(2):  # compile + bootstrap keyframes
-        outs, stats = ms.step(staged[k])
-    jax.block_until_ready(ms.states.pose)
-    # (a) device-true throughput: lax.scan the step over the buffered
-    # sequence — T x S scans chained in ONE executable, so the relay's flat
-    # ~20-30 ms per-dispatch cost (pure client overhead, absent on a
-    # co-located host) is paid once, not per step
-    seq = staged[2:] * 3  # 12 steps
-    iters, kfs = ms.run_sequence(seq)  # compile + finish pending serves
-    import numpy as _np
-
-    _np.asarray(ms.states.pose)  # fence: a DATA read, not block_until_ready
-    # (block_until_ready on a remote-relay buffer has been observed to
-    # return before execution completes — every timing below fences with an
-    # actual host read of a small output)
-    t0 = time.perf_counter()
-    reps = 4
-    for _ in range(reps):
-        iters, kfs = ms.run_sequence(seq)
-    _np.asarray(ms.states.pose)
-    dt = (time.perf_counter() - t0) / (reps * len(seq))
-    n_kf = int(_np.asarray(kfs).sum())
-
-    # (b) online rate: one host dispatch per scan batch (relay-floor bound)
-    t0 = time.perf_counter()
-    n_steps = 0
-    for _ in range(3):
-        for k in range(2, len(staged)):
-            outs, stats = ms.step(staged[k])
-            n_steps += 1
-    _np.asarray(ms.states.pose)
-    dt_online = (time.perf_counter() - t0) / n_steps
-
-    out = {
-        "streams": S,
-        "step_ms": round(1000 * dt, 3),
-        "scans_per_sec_aggregate": round(S / dt, 1),
-        "online_step_ms": round(1000 * dt_online, 2),
-        "online_scans_per_sec": round(S / dt_online, 1),
-        "mean_iterations": round(float(_np.asarray(iters).mean()), 1),
-        "keyframes_per_step": round(n_kf / (reps * len(seq)), 2),
-        "note": "deferred mapping: <=1 target rebuild/step (reference async "
-                "mapping_flag_ semantics); step_ms = lax.scan device rate, "
-                "online_* = per-dispatch through the TPU relay",
-    }
-    if cpu_pre is None:
+    out = {"workload": "64-beam KITTI-class (HDL-64E geometry, ~115k rays), "
+                       "deferred mapping (<=1 target rebuild/step — the "
+                       "reference async mapping_flag_ semantics); step_ms = "
+                       "lax.scan device rate, online_* = per-dispatch "
+                       "through the TPU relay"}
+    if cpu_pre is None or not cpu_pre.get("available"):
         cpu_pre = _multistream_cpu_prework()
     if cpu_pre.get("available"):
-        cpu_rate = cpu_pre["scans_per_sec_1thread"]
-        out["cpu_scans_per_sec_1thread"] = cpu_rate
+        out["cpu_scans_per_sec_1thread"] = cpu_pre["scans_per_sec_1thread"]
         out["cpu_ms_per_scan_1thread"] = cpu_pre["ms_per_scan_1thread"]
-        # one chip's 8 streams vs 8 CPU threads each running one stream
-        # (linear scaling assumed for the CPU — generous to it)
-        out["aggregate_vs_8x_cpu_1thread"] = round(
-            out["scans_per_sec_aggregate"] / (8.0 * cpu_rate), 2)
-        out["aggregate_vs_1x_cpu_1thread"] = round(
-            out["scans_per_sec_aggregate"] / cpu_rate, 2)
+
+    curve = []
+    best = None
+    for S in ((8,) if quick else (8, 16, 32)):
+        expand = jax.jit(
+            lambda x, s=S: jnp.broadcast_to(
+                x[:, None], (x.shape[0], s) + x.shape[1:]
+            )
+        )
+        xs, is_, vs = expand(fx), expand(fi), expand(fv)
+        ms = MultiStreamSlam(cfg, S, deferred_mapping=True)
+        runner = make_sequence_runner(cfg)
+        from lidarslam_ros2_tpu.core.pointcloud import PointCloud
+
+        for k in range(2):  # compile the step + bootstrap keyframes
+            outs, stats = ms.step(PointCloud(xs[k], is_[k], vs[k]))
+        # device-true throughput: T x S scans chained in ONE executable
+        # (12 steps: frames 2..5 repeated 3x)
+        idx = jnp.asarray(list(range(2, 6)) * 3)
+        sx, si, sv = xs[idx], is_[idx], vs[idx]
+        ms.states, ms.pend, iters, kfs = runner(
+            ms.states, ms.pend, sx, si, sv
+        )  # compile
+        np.asarray(ms.states.pose)  # DATA-read fence (relay-safe)
+        t0 = time.perf_counter()
+        reps = 3
+        for _ in range(reps):
+            ms.states, ms.pend, iters, kfs = runner(
+                ms.states, ms.pend, sx, si, sv
+            )
+        np.asarray(ms.states.pose)
+        dt = (time.perf_counter() - t0) / (reps * len(idx))
+        row = {
+            "streams": S,
+            "step_ms": round(1000 * dt, 3),
+            "scans_per_sec_aggregate": round(S / dt, 1),
+            "mean_iterations": round(float(np.asarray(iters).mean()), 1),
+            "keyframes_per_step": round(
+                float(np.asarray(kfs).sum()) / (len(idx)), 2),
+            "keyframe_voxels_dropped_max": int(
+                np.asarray(ms.states.last_kf_dropped).max()),
+            "input_voxels_dropped_max": int(
+                np.asarray(outs.dropped_input_voxels).max()),
+        }
+        if S == 8:
+            # online rate: one host dispatch per scan batch (relay floor)
+            t0 = time.perf_counter()
+            n_steps = 0
+            for _ in range(2):
+                for k in range(2, 6):
+                    outs, stats = ms.step(PointCloud(xs[k], is_[k], vs[k]))
+                    n_steps += 1
+            np.asarray(ms.states.pose)
+            dt_online = (time.perf_counter() - t0) / n_steps
+            row["online_step_ms"] = round(1000 * dt_online, 2)
+            row["online_scans_per_sec"] = round(S / dt_online, 1)
+        if cpu_pre.get("available"):
+            cpu_rate = cpu_pre["scans_per_sec_1thread"]
+            # one chip's S streams vs 8 CPU threads each running one stream
+            # (linear CPU scaling assumed — generous to it)
+            row["aggregate_vs_8x_cpu_1thread"] = round(
+                row["scans_per_sec_aggregate"] / (8.0 * cpu_rate), 2)
+        curve.append(row)
+        if best is None or (row["scans_per_sec_aggregate"]
+                            > best["scans_per_sec_aggregate"]):
+            best = row
+        del ms, runner, xs, is_, vs, sx, si, sv
+    out["curve"] = curve
+    out["best"] = {k: best[k] for k in
+                   ("streams", "scans_per_sec_aggregate")}
+    if "aggregate_vs_8x_cpu_1thread" in (best or {}):
+        out["best"]["aggregate_vs_8x_cpu_1thread"] = (
+            best["aggregate_vs_8x_cpu_1thread"])
     return out
 
 
@@ -673,22 +795,7 @@ def main():
         ndt_build_target,
     )
 
-    # Persistent XLA compilation cache (explicit opt-in; see
-    # lidarslam_ros2_tpu.enable_compilation_cache). The cache dir is COMMITTED
-    # to the repo: the TPU executables behind the headline + every section are
-    # pre-compiled artifacts, so a cold driver image skips the 100-200 s
-    # per-program XLA compiles that starved rounds 2-3 of their sections.
-    # TPU executables are keyed by jaxlib version + device kind — unlike the
-    # XLA:CPU AOT hazard, loading them on another host of the same TPU type is
-    # the supported deployment path. Override/disable: LIDARSLAM_JAX_CACHE.
-    cache = pkg.enable_compilation_cache(
-        os.environ.get(
-            "LIDARSLAM_JAX_CACHE",
-            os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         ".jax_cache"),
-        )
-    )
-    stamp(f"imports done (compilation cache: {cache})")
+    stamp("imports done")
 
     # The remote-TPU relay's first touch (backend attach + first device put)
     # has been observed to take 6.5 s OR ~420 s on the same image minutes
@@ -714,7 +821,7 @@ def main():
         for key, fn in (
             ("cpu_ndt", lambda: _cpu_ndt_prework()),
             ("ate_parity", _ate_parity_prework),
-            ("multistream", lambda: _multistream_frames(32768, 8)),
+            ("multistream", lambda: _multistream_frames(131072)),
             ("multistream_cpu", _multistream_cpu_prework),
             ("full_slam", _full_slam_scans),
             ("long_course", _long_course_prework),
@@ -729,6 +836,31 @@ def main():
         stamp(f"TPU attach FAILED: {attach_info['error']}")
         raise RuntimeError(attach_info["error"])
     stamp(f"TPU attached ({attach_info.get('attach_s')}s)")
+
+    # Persistent XLA compilation cache (explicit opt-in; see
+    # lidarslam_ros2_tpu.enable_compilation_cache). The cache dir is COMMITTED
+    # to the repo: the TPU executables behind the headline + every section are
+    # pre-compiled artifacts, so a cold driver image skips the 100-200 s
+    # per-program XLA compiles that starved rounds 2-3 of their sections.
+    # TPU executables are keyed by jaxlib version + device kind — unlike the
+    # XLA:CPU AOT hazard, loading them on another host of the same TPU type is
+    # the supported deployment path. The committed dir is therefore only the
+    # default when the attached backend really IS a TPU (decided HERE, after
+    # attach — no compile has been dispatched yet: every prework stage is
+    # host-only numpy); a CPU fallback gets the per-user machine-keyed tmp
+    # path instead (the cross-host XLA:CPU AOT SIGILL hazard).
+    # Override/disable: LIDARSLAM_JAX_CACHE.
+    if jax.default_backend() == "cpu":
+        cache = pkg.enable_compilation_cache()
+    else:
+        cache = pkg.enable_compilation_cache(
+            os.environ.get(
+                "LIDARSLAM_JAX_CACHE",
+                os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache"),
+            )
+        )
+    stamp(f"compilation cache: {cache}")
 
     window, source, true_pose = _vlp32_window()
     n_src = int(source.count())
@@ -818,33 +950,60 @@ def main():
         t_start + budget_s, t_sections + section_floor_s
     )
     if os.environ.get("BENCH_QUICK") != "1":
-        for key, fn in (
-            ("cpu_ndt_baseline", lambda: _bench_cpu_ndt(
-                pre.get("cpu_ndt") or _cpu_ndt_prework(), ms_per_iter)),
+        def _cpu_ndt_pre():
+            # re-measure when the prework ran without the fixture (its
+            # {'available': False} dict is truthy; by section time
+            # _vlp32_window() has staged the /tmp fixture, so a fresh
+            # prework call succeeds)
+            p = pre.get("cpu_ndt")
+            return p if p and p.get("available") else _cpu_ndt_prework()
+
+        # Every section has a full and a degraded (quick=True) variant; when
+        # the budget runs low the remaining sections DEGRADE sample counts
+        # instead of being skipped wholesale, so all sections land in every
+        # bench (r02 rc=124, r03 shipped 2/6 sections — never again). The
+        # estimated full cost per section gates the choice.
+        sections = (
+            # key, fn(quick), full-cost estimate (s)
+            ("cpu_ndt_baseline",
+             lambda q: _bench_cpu_ndt(_cpu_ndt_pre(), ms_per_iter), 25),
             ("multistream",
-             lambda: _bench_multistream(pre.get("multistream"),
-                                        pre.get("multistream_cpu"))),
-            ("gicp", lambda: _bench_gicp(window, source, guess)),
-            ("ate_parity", lambda: _bench_ate_parity(pre.get("ate_parity"))),
-            ("full_slam", lambda: _bench_full_slam(pre.get("full_slam"))),
+             lambda q: _bench_multistream(pre.get("multistream"),
+                                          pre.get("multistream_cpu"),
+                                          quick=q), 110),
+            ("gicp", lambda q: _bench_gicp(window, source, guess), 25),
+            ("pose_graph_solve", lambda q: _bench_pose_graph_solve(quick=q),
+             60),
+            ("ate_parity", lambda q: _bench_ate_parity(pre.get("ate_parity")),
+             70),
+            ("full_slam",
+             lambda q: _bench_full_slam(pre.get("full_slam"), quick=q), 130),
             ("long_course",
-             lambda: _bench_long_course(pre.get("long_course"))),
-        ):
+             lambda q: _bench_long_course(pre.get("long_course"), quick=q),
+             80),
+        )
+        for key, fn, est_s in sections:
             left = section_deadline - time.monotonic()
-            if left < 30.0:
-                detail[key] = {"skipped": f"bench budget exhausted ({left:.0f}s left)"}
+            if left < 15.0:
+                detail[key] = {
+                    "skipped": f"bench budget exhausted ({left:.0f}s left)"}
                 stamp(f"section {key} skipped ({left:.0f}s left)")
                 continue
-            stamp(f"section {key} starting ({left:.0f}s left)")
+            quick = left < est_s + 30.0
+            stamp(f"section {key} starting ({left:.0f}s left"
+                  f"{', degraded' if quick else ''})")
             t_sec = time.monotonic()
             try:
-                detail[key] = _run_capped(fn, min(left - 10.0, 280.0))
+                detail[key] = _run_capped(
+                    lambda: fn(quick), min(left - 5.0, 280.0))
             except _SectionTimeout:
                 detail[key] = {"error": "section wall-clock cap hit"}
             except Exception as e:  # pragma: no cover
                 detail[key] = {"error": f"{type(e).__name__}: {e}"}
             if isinstance(detail[key], dict):
                 detail[key]["section_s"] = round(time.monotonic() - t_sec, 1)
+                if quick:
+                    detail[key]["degraded"] = True
             emit()
 
 

@@ -5,14 +5,19 @@ gets from rclcpp pub/sub (intra-process comms in the composed app,
 lidarslam/src/lidarslam.cpp:10-17) without requiring ROS: topics are named
 channels with synchronous dispatch plus a latched last-value slot so
 KeepLast(1)-style consumers (map_array, scanmatcher_component.cpp:254-258)
-can poll the newest message. An optional rclpy adapter can bridge these
-topics to real ROS 2 (api/ros_adapter.py).
+can poll the newest message. :class:`SensorQueue` adds the sensor-data
+best-effort QoS the reference puts on ``/input_cloud`` and ``/imu``
+(scanmatcher_component.cpp:241-247): bounded KeepLast(depth) with drop-old
+backpressure, so a lagging consumer sheds stale scans instead of queueing
+unboundedly in wall time. An optional rclpy adapter can bridge these topics
+to real ROS 2 (api/ros_adapter.py).
 """
 
 from __future__ import annotations
 
-from collections import defaultdict
-from typing import Any, Callable, Dict, List
+import threading
+from collections import defaultdict, deque
+from typing import Any, Callable, Dict, List, Optional
 
 
 class Bus:
@@ -31,3 +36,59 @@ class Bus:
     def latest(self, topic: str) -> Any:
         """KeepLast(1) poll; None if nothing published yet."""
         return self._latched.get(topic)
+
+
+class SensorQueue:
+    """Best-effort sensor-data QoS between a producer thread (paced replay /
+    live driver) and the SLAM consumer thread.
+
+    Semantics match the reference's ``rclcpp::SensorDataQoS`` subscriptions
+    on ``/input_cloud`` and ``/imu`` (scanmatcher_component.cpp:241-247,
+    KeepLast(5) best-effort): a bounded history of ``depth`` samples; when
+    the consumer lags and the queue is full, the OLDEST sample is dropped so
+    the system stays live on fresh data. Every drop is counted
+    (``dropped``), surfaced like the capacity-overflow dict — load shedding
+    is never silent.
+    """
+
+    def __init__(self, depth: int = 5):
+        if depth < 1:
+            raise ValueError("depth must be >= 1")
+        self._dq: deque = deque()
+        self._depth = depth
+        self._cv = threading.Condition()
+        self._closed = False
+        self.pushed = 0
+        self.dropped = 0
+
+    def push(self, msg: Any) -> None:
+        """Producer side: never blocks; evicts the oldest sample when full."""
+        with self._cv:
+            if len(self._dq) >= self._depth:
+                self._dq.popleft()
+                self.dropped += 1
+            self._dq.append(msg)
+            self.pushed += 1
+            self._cv.notify()
+
+    def pop(self, timeout: Optional[float] = None) -> Any:
+        """Consumer side: oldest queued sample; blocks until one arrives,
+        the queue closes (returns None once drained), or ``timeout`` elapses
+        (returns None)."""
+        with self._cv:
+            while not self._dq:
+                if self._closed:
+                    return None
+                if not self._cv.wait(timeout):
+                    return None
+            return self._dq.popleft()
+
+    def close(self) -> None:
+        """End of stream: consumers drain whatever is queued, then get None."""
+        with self._cv:
+            self._closed = True
+            self._cv.notify_all()
+
+    def __len__(self) -> int:
+        with self._cv:
+            return len(self._dq)

@@ -104,6 +104,7 @@ class GraphBasedSlamNode:
         if self._worker is not None:
             self._worker.join(timeout=5.0)
             self._worker = None
+        self.engine.close()
 
     def search_loop(self):
         # _busy is taken BEFORE the snapshot poll: snapshot-consume + search

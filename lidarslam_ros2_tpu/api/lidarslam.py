@@ -51,6 +51,18 @@ class LidarSlam:
             self.bus, backend_cfg, async_mode=async_backend
         )
 
+    def warmup(self, max_keyframes: int = 128) -> dict:
+        """Pre-compile every XLA program the pipeline can dispatch (frontend
+        step/keyframe update + backend loop-register and pose-graph solve
+        buckets up to ``max_keyframes``) so a paced real-time run never stalls
+        on mid-run compilation. Call once before the first scan; returns the
+        wall seconds spent per engine (the compile-vs-steady-state split the
+        bench reports). The reference gets this for free — its C++ is compiled
+        ahead of time; warmup is the XLA equivalent."""
+        front_s = self.scan_matcher.engine.warmup()
+        back_s = self.graph_based_slam.engine.warmup(max_keyframes)
+        return {"frontend_s": front_s, "backend_s": back_s}
+
     # -- streaming interface ---------------------------------------------------
     def add_imu(self, angular_velocity, linear_acceleration, orientation_xyzw,
                 stamp: float) -> None:

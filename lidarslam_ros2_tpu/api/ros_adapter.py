@@ -106,7 +106,13 @@ class RosLidarSlamNode(Node):  # pragma: no cover - needs a ROS 2 runtime
 
         self._global_frame = opts.global_frame_id
 
-        # internal bus -> ROS re-publication
+        # internal bus -> ROS re-publication. The live Path is built
+        # INCREMENTALLY from each current_pose (the reference push_backs the
+        # already-built PoseStamped, scanmatcher_component.cpp:419-420) —
+        # re-converting the whole [N,4,4] batch per scan grows O(N) host work
+        # and, worse, a fresh XLA program per new N in a long-lived node.
+        self._path_msg = None
+        self._last_pose_msg = None
         self.app.bus.subscribe("current_pose", self._publish_pose)
         self.app.bus.subscribe("map", self._publish_map)
         self.app.bus.subscribe("modified_map", self._publish_modified_map)
@@ -170,50 +176,77 @@ class RosLidarSlamNode(Node):  # pragma: no cover - needs a ROS 2 runtime
         return response
 
     # -- engine -> ROS -------------------------------------------------------
-    def _publish_pose(self, ps) -> None:
+    def _pose_msg(self, pose, stamp: float, frame_id: str):
+        """One stamped geometry_msgs/PoseStamped (pure-numpy conversion — no
+        XLA program for host-side message assembly)."""
         from geometry_msgs.msg import PoseStamped as RosPose
         from ..core import se3
-        import jax.numpy as jnp
 
         msg = RosPose()
-        msg.header.frame_id = ps.frame_id
-        msg.header.stamp.sec = int(ps.stamp)
-        msg.header.stamp.nanosec = int((ps.stamp % 1.0) * 1e9)
-        p7 = np.asarray(se3.matrix_to_pose7(jnp.asarray(ps.pose)))
+        msg.header.frame_id = frame_id
+        msg.header.stamp.sec = int(stamp)
+        msg.header.stamp.nanosec = int((stamp % 1.0) * 1e9)
+        p7 = se3.matrix_to_pose7_np(pose)[0]
         msg.pose.position.x, msg.pose.position.y, msg.pose.position.z = map(
             float, p7[:3]
         )
         (msg.pose.orientation.x, msg.pose.orientation.y,
          msg.pose.orientation.z, msg.pose.orientation.w) = map(float, p7[3:])
+        return msg
+
+    def _publish_pose(self, ps) -> None:
+        msg = self._pose_msg(ps.pose, ps.stamp, ps.frame_id)
         self.pose_pub.publish(msg)
+        self._last_pose_msg = msg
 
     def _publish_path(self, poses) -> None:
-        """Per-scan full-path republication (the reference publishes the
-        whole nav_msgs/Path every scan, scanmatcher_component.cpp:553-556)."""
-        self.path_pub.publish(self._to_ros_path(poses))
+        """Per-scan full-path republication, built INCREMENTALLY: append the
+        PoseStamped just converted by :meth:`_publish_pose` (the reference
+        push_backs corrent_pose_stamped_ then publishes,
+        scanmatcher_component.cpp:417-420). Header and every pose carry the
+        scan stamps rviz/evo consumers rely on. The bus 'path' event fires
+        once per scan right after 'current_pose', so the append stays in
+        lockstep; any resync (e.g. engine restore) rebuilds once in numpy."""
+        from nav_msgs.msg import Path
+
+        if self._path_msg is None:
+            self._path_msg = Path()
+            self._path_msg.header.frame_id = self._global_frame
+        n = len(poses)
+        if len(self._path_msg.poses) + 1 == n and self._last_pose_msg is not None:
+            self._path_msg.poses.append(self._last_pose_msg)
+            self._path_msg.header.stamp = self._last_pose_msg.header.stamp
+        elif len(self._path_msg.poses) != n:
+            stamps = [0.0] * n
+            if self._last_pose_msg is not None and n:
+                stamps[-1] = (self._last_pose_msg.header.stamp.sec
+                              + self._last_pose_msg.header.stamp.nanosec * 1e-9)
+            self._path_msg = self._to_ros_path(poses, stamps)
+        self.path_pub.publish(self._path_msg)
 
     def _publish_modified_path(self, poses) -> None:
-        if poses is not None:
-            self.modified_path_pub.publish(self._to_ros_path(poses))
+        if poses is None:
+            return
+        # per-keyframe stamps from the corrected MapArray (same backend
+        # publication, graph_based_slam_component.cpp:344-356)
+        mma = self.app.graph_based_slam.engine.modified_map_array
+        stamps = (
+            [s.stamp for s in mma.submaps]
+            if mma is not None and len(mma) == len(poses)
+            else [0.0] * len(poses)
+        )
+        self.modified_path_pub.publish(self._to_ros_path(poses, stamps))
 
-    def _to_ros_path(self, poses):
-        from geometry_msgs.msg import PoseStamped as RosPose
+    def _to_ros_path(self, poses, stamps):
         from nav_msgs.msg import Path
-        from ..core import se3
-        import jax.numpy as jnp
 
         msg = Path()
         msg.header.frame_id = self._global_frame
-        p7s = np.asarray(se3.matrix_to_pose7(jnp.asarray(np.asarray(poses))))
-        for p7 in p7s:
-            p = RosPose()
-            p.header.frame_id = self._global_frame
-            p.pose.position.x, p.pose.position.y, p.pose.position.z = map(
-                float, p7[:3]
-            )
-            (p.pose.orientation.x, p.pose.orientation.y,
-             p.pose.orientation.z, p.pose.orientation.w) = map(float, p7[3:])
-            msg.poses.append(p)
+        if len(poses):
+            msg.header.stamp.sec = int(stamps[-1])
+            msg.header.stamp.nanosec = int((stamps[-1] % 1.0) * 1e9)
+        for pose, stamp in zip(np.asarray(poses), stamps):
+            msg.poses.append(self._pose_msg(pose, stamp, self._global_frame))
         return msg
 
     def _publish_map(self, cloud: np.ndarray) -> None:

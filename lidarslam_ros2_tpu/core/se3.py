@@ -299,3 +299,43 @@ def pose7_to_matrix(pose: jnp.ndarray) -> jnp.ndarray:
 
 def matrix_to_pose7(T: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([translation(T), matrix_to_quat(rotation(T))], axis=-1)
+
+
+def matrix_to_pose7_np(T) -> "np.ndarray":
+    """Pure-numpy batch (x, y, z, qx, qy, qz, qw) conversion for HOST paths.
+
+    Device-identical to :func:`matrix_to_pose7` (same Shepperd pivot choice)
+    but with no XLA involvement: host consumers that convert GROWING pose
+    batches (e.g. the ROS Path republication, every scan with shape [N,4,4])
+    must not trigger a fresh jit compile per new N — jaxlib accumulating
+    live executables in a long-lived node is a crash hazard documented in
+    tests/conftest.py."""
+    import numpy as np
+
+    T = np.asarray(T, dtype=np.float32).reshape(-1, 4, 4)
+    R = T[:, :3, :3]
+    m00, m11, m22 = R[:, 0, 0], R[:, 1, 1], R[:, 2, 2]
+    tr = m00 + m11 + m22
+    pivots = np.stack([1.0 + tr, 1.0 + m00 - m11 - m22,
+                       1.0 - m00 + m11 - m22, 1.0 - m00 - m11 + m22], axis=-1)
+    s = np.sqrt(np.clip(pivots, 1e-12, None)) * 0.5
+    w0, x1, y2, z3 = s[:, 0], s[:, 1], s[:, 2], s[:, 3]
+    d = lambda i, j: R[:, i, j]  # noqa: E731
+    cand = np.stack([
+        np.stack([(d(2, 1) - d(1, 2)) / (4 * w0),
+                  (d(0, 2) - d(2, 0)) / (4 * w0),
+                  (d(1, 0) - d(0, 1)) / (4 * w0), w0], axis=-1),
+        np.stack([x1, (d(0, 1) + d(1, 0)) / (4 * x1),
+                  (d(0, 2) + d(2, 0)) / (4 * x1),
+                  (d(2, 1) - d(1, 2)) / (4 * x1)], axis=-1),
+        np.stack([(d(0, 1) + d(1, 0)) / (4 * y2), y2,
+                  (d(1, 2) + d(2, 1)) / (4 * y2),
+                  (d(0, 2) - d(2, 0)) / (4 * y2)], axis=-1),
+        np.stack([(d(0, 2) + d(2, 0)) / (4 * z3),
+                  (d(1, 2) + d(2, 1)) / (4 * z3), z3,
+                  (d(1, 0) - d(0, 1)) / (4 * z3)], axis=-1),
+    ], axis=1)
+    pick = np.argmax(np.stack([tr, m00, m11, m22], axis=-1), axis=-1)
+    q = cand[np.arange(len(T)), pick]
+    q = q / np.linalg.norm(q, axis=-1, keepdims=True)
+    return np.concatenate([T[:, :3, 3], q], axis=-1)

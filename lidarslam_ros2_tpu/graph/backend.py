@@ -23,8 +23,11 @@ disappears: the backend consumes an immutable MapArray copy by value.
 from __future__ import annotations
 
 import dataclasses
+import time
+from concurrent.futures import ThreadPoolExecutor
 from typing import List, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -36,7 +39,7 @@ from ..models import registration as reg
 from ..ops.gicp import source_covariances
 from ..ops.voxelize import voxel_downsample
 from ..utils.timing import StageTimer
-from .pose_graph import build_graph, optimize_pose_graph
+from .pose_graph import _bucket, build_graph, optimize_pose_graph
 
 
 @dataclasses.dataclass(frozen=True)
@@ -67,6 +70,15 @@ class BackendConfig:
     # --- capacities ---
     source_capacity: int = 16384  # latest submap cloud
     target_capacity: int = 65536  # downsampled loop-target window
+    # fixed capacity of the CONCATENATED loop-target window before its voxel
+    # downsample (the reference feeds a dynamically-sized concat to VoxelGrid,
+    # :208-227). One static shape = ONE compiled downsample program for the
+    # whole run; per-size pow-2 padding compiled a fresh program per window
+    # size MID-RUN, stalling the paced scan path for seconds (BENCH_r04
+    # backend_loop_register mean 5.3 s). Overflow stride-subsamples evenly
+    # (spatial coverage is preserved; the voxel downsample absorbs density)
+    # and fires the loop_window_points_dropped counter.
+    window_capacity: int = 131072
     # pose-graph solver
     gn_iterations: int = 10  # reference optimize(10)
     cg_iterations: int = 100
@@ -105,12 +117,102 @@ class GraphBasedSlam:
         self._map_array_updated = False
         # per-stage wall-clock stats, like the frontend's (utils/timing.py)
         self.timer = StageTimer()
+        # run-wide maxima of capacity truncations (surfaced like the
+        # frontend's overflow dict; tools/slam.py warns at end of run)
+        self.overflow: dict = {}
+        # pose-graph solve programs already compiled, keyed by
+        # (vertex_bucket, loop_bucket). warmup() fills this up front; the
+        # prefetch pool compiles the NEXT bucket in the background before the
+        # trajectory grows into it, so a solve never waits on XLA mid-run.
+        self._warmed_buckets: set = set()
+        self._prefetch_pool = ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="graph_precompile"
+        )
+
+    # -- precompilation --------------------------------------------------------
+    def warmup(self, max_keyframes: int = 128) -> float:
+        """Compile every XLA program a run can touch BEFORE real-time pacing
+        starts: the loop-register pipeline (window downsample + target build +
+        align at their fixed capacities) and the pose-graph solve at every
+        vertex bucket up to ``max_keyframes``. Mid-run XLA compiles are what
+        broke real-time operation in earlier rounds (BENCH_r04: 5.3 s mean
+        loop-register, 10 s worst-case scan stall); after warmup the only
+        device work left is execution. Returns the wall seconds spent.
+
+        Growth beyond ``max_keyframes`` is covered by the background prefetch
+        pool (:meth:`_prefetch_buckets`, triggered from
+        :meth:`receive_map_array` as the trajectory approaches a bucket edge).
+        """
+        t0 = time.perf_counter()
+        cfg = self.cfg
+        # loop-register path at its run-constant shapes; empty clouds compile
+        # (and cheaply execute) the exact programs search_loop dispatches
+        window = PointCloud.empty(cfg.window_capacity)
+        tgt = voxel_downsample(window, cfg.voxel_leaf_size, cfg.target_capacity)
+        result = self._register(tgt, PointCloud.empty(cfg.source_capacity))
+        jax.block_until_ready(result.T)
+        vb = 64
+        while True:
+            self._warm_graph_bucket(vb, 8)
+            if vb >= max_keyframes:
+                break
+            vb *= 2
+        return time.perf_counter() - t0
+
+    def _warm_graph_bucket(self, vertex_bucket: int, loop_bucket: int) -> None:
+        """Compile + execute the pose-graph solve at one (V, L) bucket pair
+        with a synthetic identity chain (same static shapes as a real solve
+        at any n in (V/2, V], loops in (L/2, L])."""
+        key = (vertex_bucket, loop_bucket)
+        if key in self._warmed_buckets:
+            return
+        self._warmed_buckets.add(key)
+        cfg = self.cfg
+        poses = np.tile(np.eye(4, dtype=np.float32), (vertex_bucket, 1, 1))
+        n_loops = max(loop_bucket // 2 + 1, 1)  # lands in the L bucket
+        pairs = np.stack(
+            [np.zeros(n_loops, np.int32),
+             np.full(n_loops, vertex_bucket - 1, np.int32)], axis=1
+        )
+        rel = np.tile(np.eye(4, dtype=np.float32), (n_loops, 1, 1))
+        graph = build_graph(
+            poses, cfg.num_adjacent_pose_cnstraints, pairs, rel
+        )
+        new_poses, _ = optimize_pose_graph(
+            graph,
+            gn_iters=cfg.gn_iterations,
+            cg_iters=cfg.cg_iterations,
+            huber_delta=cfg.loop_huber_delta,
+            band_width=cfg.num_adjacent_pose_cnstraints,
+            robust_kernel=cfg.loop_robust_kernel,
+        )
+        jax.block_until_ready(new_poses)
+
+    def _prefetch_buckets(self, n_vertices: int) -> None:
+        """Queue background compiles for the bucket the NEXT solve would use
+        and the one after it (the trajectory grows monotonically; XLA
+        compilation releases the GIL, so the pool thread never stalls the
+        scan or loop-search threads)."""
+        vb = _bucket(max(n_vertices, 1))
+        lb = _bucket(max(len(self.loop_edges), 1), minimum=8)
+        targets = [(vb, lb)]
+        if n_vertices > 0.75 * vb:
+            targets.append((vb * 2, lb))
+        if len(self.loop_edges) >= lb - 1:
+            targets.append((vb, lb * 2))
+        for key in targets:
+            if key not in self._warmed_buckets:
+                self._prefetch_pool.submit(self._warm_graph_bucket, *key)
+
+    def close(self) -> None:
+        self._prefetch_pool.shutdown(wait=False)
 
     # -- inputs ---------------------------------------------------------------
     def receive_map_array(self, map_array: MapArray) -> None:
         """/map_array subscription (latest-only, KeepLast(1) semantics)."""
         self.map_array = map_array.copy()
         self._map_array_updated = True
+        self._prefetch_buckets(len(map_array))
 
     def restore(self, map_array: MapArray, loop_edges: List[LoopEdge]) -> None:
         """Resume from a checkpoint: previously accepted loop edges keep
@@ -170,8 +272,19 @@ class GraphBasedSlam:
                 continue
             parts.append(self._submap_world_cloud(ma.submaps[idx]))
         tgt_pts = np.concatenate(parts)
+        if len(tgt_pts) > cfg.window_capacity:
+            # even stride subsample: keeps every submap represented; the
+            # voxel downsample right after absorbs the density change
+            self.overflow["loop_window_points_dropped"] = max(
+                self.overflow.get("loop_window_points_dropped", 0),
+                len(tgt_pts) - cfg.window_capacity,
+            )
+            idx = np.linspace(
+                0, len(tgt_pts) - 1, cfg.window_capacity
+            ).astype(np.int64)
+            tgt_pts = tgt_pts[idx]
         tgt = voxel_downsample(
-            PointCloud.from_numpy(tgt_pts, _pad_pow2(len(tgt_pts))),
+            PointCloud.from_numpy(tgt_pts, cfg.window_capacity),
             cfg.voxel_leaf_size,
             cfg.target_capacity,
         )
@@ -280,10 +393,3 @@ class GraphBasedSlam:
             cfg.gicp.plane_epsilon,
         )
         return reg.gicp_align(cfg.gicp, tgt, source, src_cov, guess)
-
-
-def _pad_pow2(n: int, minimum: int = 1024) -> int:
-    b = minimum
-    while b < n:
-        b *= 2
-    return b

@@ -453,7 +453,16 @@ def build_graph(
         [chain_meas.astype(np.float32), loop_rel.reshape(-1, 4, 4).astype(np.float32)]
     ) if len(ei) else np.zeros((0, 4, 4), np.float32)
 
-    E = _bucket(max(len(ei), 1))
+    # loop edges duplicated into their own padded bucket (Woodbury columns)
+    L = _bucket(max(len(li), 1), minimum=8)
+    # edge capacity is a DETERMINISTIC function of the (V, L) buckets, not of
+    # the live edge count: chain edges number num_adjacent*(n-1-num_adjacent)
+    # <= num_adjacent*V, so every n inside a vertex bucket shares ONE compiled
+    # solve program (warmup()/prefetch can then precompile per bucket; an
+    # edge-count-derived bucket would recompile repeatedly WITHIN a vertex
+    # bucket as the trajectory grows)
+    E = _bucket(max(num_adjacent * V + L, 1))
+    assert len(ei) <= E, (len(ei), E)
     pad_e = E - len(ei)
     n_chain, n_loop = len(chain_i), len(li)
     ei = np.concatenate([ei, np.zeros(pad_e, np.int32)])
@@ -471,8 +480,6 @@ def build_graph(
     fixed[0] = True  # gauge (reference :286)
     info = np.tile(np.eye(6, dtype=np.float32), (E, 1, 1))
 
-    # loop edges duplicated into their own padded bucket (Woodbury columns)
-    L = _bucket(max(len(li), 1), minimum=8)
     lvalid = np.zeros(L, bool)
     lvalid[: len(li)] = True
     li_p = np.concatenate([li, np.zeros(L - len(li), np.int32)])

@@ -20,6 +20,7 @@ without blocking the host, and the hand-off is by value, not by mutation.
 from __future__ import annotations
 
 import dataclasses
+import time
 from concurrent.futures import ThreadPoolExecutor
 from functools import partial
 from typing import Any, NamedTuple, Optional, Tuple
@@ -412,6 +413,30 @@ class ScanMatcher:
         # under debug_flag, scanmatcher_component.cpp:351-354); read via
         # ``timer.summary()`` — tools/slam.py surfaces it in summary.json
         self.timer = StageTimer()
+
+    # -- precompilation ------------------------------------------------------
+    def warmup(self) -> float:
+        """Compile (and cheaply execute, on empty clouds) every XLA program
+        the scan path can dispatch — preprocess, the fused frontend step, the
+        keyframe update, and the correction-feedback rebuilds — BEFORE
+        real-time pacing starts, so no scan ever waits on XLA mid-run.
+        Safe any time before the first scan; does not touch engine state.
+        Returns the wall seconds spent."""
+        t0 = time.perf_counter()
+        cfg = self.cfg
+        state = self._empty_state()  # also builds/compiles the empty target
+        raw = PointCloud.empty(cfg.scan_capacity)
+        imu_hist = self.imu.snapshot(ref_time=0.0)
+        odom = jnp.eye(4, dtype=jnp.float32)
+        filtered, _, _ = preprocess(cfg, raw, imu_hist)
+        _, state2, out = frontend_step(
+            cfg, state, raw, imu_hist, odom, jnp.asarray(False)
+        )
+        state3 = keyframe_update(cfg, state, filtered)
+        # li_slam-style feedback path (adopt_correction)
+        state4 = build_target_from_ring(cfg, rebuild_stats_ring(cfg, state))
+        jax.block_until_ready((out, state2.pose, state3.pose, state4.pose))
+        return time.perf_counter() - t0
 
     # -- inputs -------------------------------------------------------------
     def set_initial_pose(self, pose: np.ndarray) -> None:

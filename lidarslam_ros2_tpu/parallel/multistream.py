@@ -218,8 +218,12 @@ def _deferred_step_fn(cfg: FrontendConfig):
             flag=pend.flag | trigger,
             age=jnp.where(pend.flag | trigger, pend.age + 1, 0),
         )
-        # need_keyframe reports SCHEDULED inserts (not suppressed re-fires)
-        outs = outs._replace(need_keyframe=trigger)
+        # need_keyframe reports INSERTS THIS STEP scheduled or performed:
+        # distance triggers that stashed a pending keyframe plus synchronous
+        # bootstrap inserts — the same semantics as batched mode, so
+        # FleetStats.total_keyframes means one thing across modes
+        # (suppressed re-fires while a rebuild is pending stay uncounted)
+        outs = outs._replace(need_keyframe=trigger | uninit)
         states, pend = jax.lax.cond(
             jnp.any(pend.flag),
             lambda a: _serve_one(cfg, *a),

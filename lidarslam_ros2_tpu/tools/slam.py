@@ -94,6 +94,31 @@ def main(argv=None) -> int:
         "debug_flag align() wall clock, scanmatcher_component.cpp:351-354, "
         "but for every pipeline stage)",
     )
+    ap.add_argument(
+        "--paced",
+        type=float,
+        default=0.0,
+        metavar="RATE",
+        help="replay at RATE x the stamped sensor rate on a feeder thread "
+        "with best-effort sensor QoS (the reference's SensorDataQoS "
+        "subscriptions, scanmatcher_component.cpp:241-247): when the engine "
+        "lags, stale scans are DROPPED (KeepLast depth, counted in the "
+        "summary) and the pipeline stays live. 0 = offline mode: process "
+        "every scan back-to-back (default)",
+    )
+    ap.add_argument(
+        "--qos-depth",
+        type=int,
+        default=5,
+        help="KeepLast history depth of the paced scan queue (the rclcpp "
+        "SensorDataQoS default)",
+    )
+    ap.add_argument(
+        "--no-warmup",
+        action="store_true",
+        help="skip the XLA precompile pass before a paced replay (paced "
+        "runs warm up by default so no scan ever waits on a compile)",
+    )
     args = ap.parse_args(argv)
 
     # long-lived CLI entry: opt into the persistent XLA compilation cache on
@@ -166,6 +191,9 @@ def main(argv=None) -> int:
             def finish(self):
                 self.scan_matcher.flush()
 
+            def warmup(self):
+                return {"frontend_s": self.scan_matcher.engine.warmup()}
+
             def map_save(self):
                 return False
 
@@ -211,24 +239,95 @@ def main(argv=None) -> int:
     n_scans = 0
     scan_latency = []  # per-scan wall time incl. any inline backend work
     last_live = 0
+    qos = {}
+    warmup_s = 0.0
+    if args.paced > 0 and not args.no_warmup and hasattr(app, "warmup"):
+        t0 = time.perf_counter()
+        app.warmup()
+        warmup_s = time.perf_counter() - t0
+
+    def _handle_scan(payload, ts, frame):
+        nonlocal n_scans, last_live
+        del frame  # static-tf recipes register the extrinsic as "sensor"
+        t_scan = time.perf_counter()
+        app.add_scan(payload, ts, frame_id=None)
+        scan_latency.append(time.perf_counter() - t_scan)
+        n_scans += 1
+        if args.live_every > 0:
+            n_kf = len(app.scan_matcher.engine.map_array)
+            if n_kf >= last_live + args.live_every:
+                last_live = n_kf
+                _live_dump(app.scan_matcher.engine, n_kf)
+
     t0 = time.perf_counter()
-    for kind, ts, payload, frame in stream:
-        if kind == "imu":
-            app.add_imu(payload["angular_velocity"],
-                        payload["linear_acceleration"],
-                        payload["orientation"], ts)
-        else:
-            t_scan = time.perf_counter()
-            app.add_scan(payload, ts, frame_id=None)
-            scan_latency.append(time.perf_counter() - t_scan)
-            n_scans += 1
-            if args.live_every > 0:
-                n_kf = len(app.scan_matcher.engine.map_array)
-                if n_kf >= last_live + args.live_every:
-                    last_live = n_kf
-                    _live_dump(app.scan_matcher.engine, n_kf)
-            if args.max_scans and n_scans >= args.max_scans:
+    if args.paced > 0:
+        # live mode: a feeder thread paces messages at the stamped sensor
+        # rate into best-effort queues; the engine sheds stale scans when it
+        # lags instead of queueing unboundedly (reference SensorDataQoS)
+        import threading
+
+        from ..api.bus import SensorQueue
+
+        scan_q = SensorQueue(depth=args.qos_depth)
+        imu_q = SensorQueue(depth=512)  # IMU intake is cheap; deep history
+
+        def _feed():
+            t_start = time.perf_counter()
+            ts0 = None
+            fed = 0
+            for kind, ts, payload, frame in stream:
+                if ts0 is None:
+                    ts0 = ts
+                time.sleep(max(
+                    0.0,
+                    t_start + (ts - ts0) / args.paced - time.perf_counter(),
+                ))
+                if kind == "imu":
+                    imu_q.push((ts, payload))
+                else:
+                    scan_q.push((ts, payload, frame))
+                    fed += 1
+                    if args.max_scans and fed >= args.max_scans:
+                        break
+            scan_q.close()
+            imu_q.close()
+
+        feeder = threading.Thread(target=_feed, daemon=True)
+        feeder.start()
+        while True:
+            while True:  # IMU intake first (oldest-first, non-blocking)
+                m = imu_q.pop(timeout=0.0)
+                if m is None:
+                    break
+                ts, payload = m
+                app.add_imu(payload["angular_velocity"],
+                            payload["linear_acceleration"],
+                            payload["orientation"], ts)
+            ev = scan_q.pop()  # blocks; None = stream over and drained
+            if ev is None:
                 break
+            _handle_scan(ev[1], ev[0], ev[2])
+        feeder.join()
+        qos = {
+            "paced_rate": args.paced,
+            "qos_depth": args.qos_depth,
+            "scans_fed": scan_q.pushed,
+            "scans_dropped": scan_q.dropped,
+            "scan_drop_rate": round(
+                scan_q.dropped / max(scan_q.pushed, 1), 4),
+            "imu_dropped": imu_q.dropped,
+            "warmup_s": round(warmup_s, 1),
+        }
+    else:
+        for kind, ts, payload, frame in stream:
+            if kind == "imu":
+                app.add_imu(payload["angular_velocity"],
+                            payload["linear_acceleration"],
+                            payload["orientation"], ts)
+            else:
+                _handle_scan(payload, ts, frame)
+                if args.max_scans and n_scans >= args.max_scans:
+                    break
     wall = time.perf_counter() - t0
 
     if hasattr(app, "finish"):
@@ -255,6 +354,8 @@ def main(argv=None) -> int:
         },
         "backend_mode": "sync" if args.sync_backend or args.frontend_only
         else "async",
+        # best-effort QoS stats (paced mode): load shedding is never silent
+        "qos": qos,
         "trajectory_length_m": float(
             np.sum(np.linalg.norm(np.diff(path[:, :3, 3], axis=0), axis=1))
         ) if len(path) > 1 else 0.0,
@@ -288,6 +389,13 @@ def main(argv=None) -> int:
                 f"dropped at least once; raise {_overflow_knob.get(key, key)} "
                 f"(see docs/PARAMETERS.md)"
             )
+    if qos.get("scans_dropped"):
+        print(
+            f"WARNING: best-effort QoS dropped {qos['scans_dropped']}/"
+            f"{qos['scans_fed']} scans (engine slower than the paced sensor "
+            f"rate) — the pipeline stayed live on fresh data, like the "
+            f"reference's SensorDataQoS subscriptions"
+        )
     with open(os.path.join(args.output, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
     if args.debug:

@@ -291,3 +291,169 @@ def ate_rmse(path: np.ndarray, gt: np.ndarray) -> float:
     p = path[:, :3, 3] if path.ndim == 3 else path
     g = gt[: len(p), :3, 3] if gt.ndim == 3 else gt[: len(p)]
     return float(np.sqrt(np.mean(np.sum((p - g) ** 2, axis=1))))
+
+
+# ---------------------------------------------------------------------------
+# CPU GICP oracle (the pclomp::GeneralizedIterativeClosestPoint twin)
+# ---------------------------------------------------------------------------
+
+def _knn_plane_covariances(points: np.ndarray, k: int = 20,
+                           eps: float = 1e-3) -> np.ndarray:
+    """PCL GICP covariance model: per-point covariance from the k nearest
+    neighbors (kd-tree), eigenvalues regularized to (eps, 1, 1) — exactly
+    ``computeCovariances`` with the default correspondence randomness 20
+    (the reference leaves it commented at its default,
+    graph_based_slam_component.cpp:78)."""
+    from scipy.spatial import cKDTree
+
+    tree = cKDTree(points)
+    _, idx = tree.query(points, k=min(k, len(points)))
+    nbr = points[idx]  # [N,k,3]
+    mean = nbr.mean(axis=1, keepdims=True)
+    d = nbr - mean
+    cov = np.einsum("nki,nkj->nij", d, d) / max(idx.shape[1], 1)
+    w, v = np.linalg.eigh(cov)  # ascending
+    w_reg = np.empty_like(w)
+    w_reg[:, 0] = eps
+    w_reg[:, 1:] = 1.0
+    return np.einsum("nij,nj,nkj->nik", v, w_reg, v).astype(np.float64)
+
+
+def _skew(v: np.ndarray) -> np.ndarray:
+    out = np.zeros(v.shape[:-1] + (3, 3), v.dtype)
+    out[..., 0, 1] = -v[..., 2]
+    out[..., 0, 2] = v[..., 1]
+    out[..., 1, 0] = v[..., 2]
+    out[..., 1, 2] = -v[..., 0]
+    out[..., 2, 0] = -v[..., 1]
+    out[..., 2, 1] = v[..., 0]
+    return out
+
+
+def _exp_so3(w: np.ndarray) -> np.ndarray:
+    th = np.linalg.norm(w)
+    if th < 1e-12:
+        return np.eye(3) + _skew(w)
+    a = w / th
+    K = _skew(a)
+    return np.eye(3) + np.sin(th) * K + (1 - np.cos(th)) * (K @ K)
+
+
+class CpuGicpOdometry:
+    """Frontend odometry with a faithful CPU GICP engine: kd-tree 1-NN
+    correspondences, 20-NN plane covariances on BOTH clouds, Mahalanobis
+    plane-to-plane Gauss-Newton (Segal et al.) with a correspondence-distance
+    gate — the engine class the reference configures at
+    ``scanmatcher_component.cpp:115-120``. Same keyframe window logic as
+    :class:`CpuOdometry`. Pure numpy/scipy; never on the SLAM path — exists
+    so the TPU GICP trajectory has a matched CPU oracle (the NDT path has
+    native/ndt_cpu.cpp; this is its GICP sibling)."""
+
+    def __init__(
+        self,
+        max_correspondence_distance: float = 2.0,
+        trans_for_mapupdate: float = 1.0,
+        vg_size_for_input: float = 0.2,
+        vg_size_for_map: float = 0.1,
+        num_targeted_cloud: int = 10,
+        max_iterations: int = 30,
+        transformation_epsilon: float = 1e-4,
+        k_correspondences: int = 20,
+        plane_epsilon: float = 1e-3,
+        initial_pose: Optional[np.ndarray] = None,
+    ):
+        self.max_corr = float(max_correspondence_distance)
+        self.trans_for_mapupdate = trans_for_mapupdate
+        self.vg_size_for_input = vg_size_for_input
+        self.vg_size_for_map = vg_size_for_map
+        self.num_targeted_cloud = num_targeted_cloud
+        self.max_iterations = max_iterations
+        self.transformation_epsilon = transformation_epsilon
+        self.k = k_correspondences
+        self.plane_epsilon = plane_epsilon
+        self.pose = (
+            np.eye(4, dtype=np.float64)
+            if initial_pose is None
+            else np.asarray(initial_pose, dtype=np.float64)
+        )
+        self.path: list[np.ndarray] = []
+        self._keyframes: list[tuple[np.ndarray, np.ndarray]] = []
+        self._previous_position = self.pose[:3, 3].copy()
+        self._target = None  # (tree, points, covariances)
+        self._initialized = False
+
+    def _insert_keyframe(self, filtered: np.ndarray) -> None:
+        from scipy.spatial import cKDTree
+
+        local = voxel_downsample_np(filtered, self.vg_size_for_map)
+        self._keyframes.append((self.pose.copy(), local))
+        self._keyframes = self._keyframes[-self.num_targeted_cloud:]
+        world = np.concatenate(
+            [
+                (cloud @ pose[:3, :3].astype(np.float32).T)
+                + pose[:3, 3].astype(np.float32)
+                for pose, cloud in self._keyframes
+            ]
+        ).astype(np.float64)
+        self._target = (
+            cKDTree(world), world,
+            _knn_plane_covariances(world, self.k, self.plane_epsilon),
+        )
+        self._previous_position = self.pose[:3, 3].copy()
+
+    def _align(self, src: np.ndarray, src_cov: np.ndarray,
+               guess: np.ndarray) -> np.ndarray:
+        tree, tgt, tgt_cov = self._target
+        T = guess.copy()
+        for _ in range(self.max_iterations):
+            R, t = T[:3, :3], T[:3, 3]
+            q = src @ R.T + t
+            dist, j = tree.query(q)
+            m = dist <= self.max_corr
+            if m.sum() < 6:
+                break
+            qm, jm = q[m], j[m]
+            C = tgt_cov[jm] + R @ src_cov[m] @ R.T  # [M,3,3]
+            M = np.linalg.inv(C)
+            r = qm - tgt[jm]
+            # left perturbation T <- Exp(dx) T: J_i = [I | -skew(q_i)]
+            Mr = np.einsum("nij,nj->ni", M, r)
+            # g = J^T M r with J = [I | -skew(q)]: rotation block
+            # (-skew(q))^T M r = skew(q) M r = q x (Mr)
+            g = np.concatenate([Mr.sum(0), np.cross(qm, Mr).sum(0)])
+            Jw = -_skew(qm)  # [M,3,3]
+            H = np.zeros((6, 6))
+            H[:3, :3] = M.sum(0)
+            MJ = np.einsum("nij,njk->nik", M, Jw)
+            H[:3, 3:] = MJ.sum(0)
+            H[3:, :3] = H[:3, 3:].T
+            H[3:, 3:] = np.einsum("nji,njk->ik", Jw, MJ)
+            dx = np.linalg.solve(H + 1e-9 * np.eye(6), -g)
+            dT = np.eye(4)
+            dT[:3, :3] = _exp_so3(dx[3:])
+            dT[:3, 3] = dx[:3]
+            T = dT @ T
+            if np.linalg.norm(dx) < self.transformation_epsilon:
+                break
+        return T
+
+    def process_scan(self, points: np.ndarray) -> np.ndarray:
+        filtered = points[:, :3].astype(np.float32)
+        if not self._initialized:
+            self._insert_keyframe(filtered)
+            self._initialized = True
+            self.path.append(self.pose.copy())
+            return self.pose
+        src = voxel_downsample_np(
+            filtered, self.vg_size_for_input
+        ).astype(np.float64)
+        src_cov = _knn_plane_covariances(src, self.k, self.plane_epsilon)
+        self.pose = self._align(src, src_cov, self.pose)
+        self.path.append(self.pose.copy())
+        trans = np.linalg.norm(self.pose[:3, 3] - self._previous_position)
+        if trans >= self.trans_for_mapupdate:
+            self._insert_keyframe(filtered)
+        return self.pose
+
+    def get_path(self) -> np.ndarray:
+        return np.stack(self.path) if self.path else np.zeros((0, 4, 4))
