@@ -95,6 +95,13 @@ def main(argv=None) -> int:
         "but for every pipeline stage)",
     )
     ap.add_argument(
+        "--view",
+        default=None,
+        help="per-recipe view config for --live-every renders and the final "
+        "map PNG (viz/hdl_400.yaml, viz/tukuba.yaml, viz/robot.yaml — the "
+        "reference's three rviz files)",
+    )
+    ap.add_argument(
         "--paced",
         type=float,
         default=0.0,
@@ -220,12 +227,14 @@ def main(argv=None) -> int:
 
     def _live_dump(engine, k: int) -> None:
         """During-run observability (reference: live rviz on /map + /path)."""
-        from .visualize import render_map
+        from .visualize import load_view, render_map
 
         live_dir = os.path.join(args.output, "live")
         os.makedirs(live_dir, exist_ok=True)
+        view = load_view(args.view) if args.view else None
         render_map(engine.global_map(), engine.get_path(),
-                   out_png=os.path.join(live_dir, f"map_{k:05d}.png"))
+                   out_png=os.path.join(live_dir, f"map_{k:05d}.png"),
+                   current_pose=engine.current_pose(), view=view)
         with open(os.path.join(live_dir, "metrics.json"), "w") as f:
             json.dump({
                 "submaps": len(engine.map_array),
