@@ -290,17 +290,42 @@ def _bench_full_slam(scans=None, quick=False):
     t0 = time.perf_counter()
     warm = app.warmup(max_keyframes=64)
     warmup_s = time.perf_counter() - t0
+
+    # DDS-faithful pacing: a feeder thread publishes at EXACTLY the sensor
+    # rate into a best-effort SensorQueue (the reference's SensorDataQoS
+    # subscriptions, scanmatcher_component.cpp:241-247); the engine consumes
+    # as fast as it can and sheds stale scans if it falls behind. Real-time
+    # = drop rate 0 and wall time ~= stream duration. (A loop that blocks on
+    # add_scan before sleeping can never reach factor 1.0 — any single scan
+    # over the period pushes the whole schedule late.)
+    import threading
+
+    from lidarslam_ros2_tpu.api.bus import SensorQueue
+
     period = 0.1
-    lat = []
-    t_paced = time.perf_counter()
-    try:
+    q = SensorQueue(depth=5)  # rclcpp SensorDataQoS default history
+
+    def _feed():
+        t_start = time.perf_counter()
         for k, scan in enumerate(scans):
+            time.sleep(max(0.0, t_start + period * k - time.perf_counter()))
+            q.push((period * k, scan))
+        q.close()
+
+    lat = []
+    feeder = threading.Thread(target=_feed, daemon=True)
+    t_paced = time.perf_counter()
+    feeder.start()
+    try:
+        while True:
+            ev = q.pop()
+            if ev is None:
+                break
             t0 = time.perf_counter()
-            app.add_scan(scan, stamp=period * k)
-            t1 = time.perf_counter()
-            lat.append(t1 - t0)
-            time.sleep(max(0.0, (t0 + period) - time.perf_counter()))
+            app.add_scan(ev[1], stamp=ev[0])
+            lat.append(time.perf_counter() - t0)
         wall = time.perf_counter() - t_paced
+        feeder.join()
         app.finish()
         loops = len(app.graph_based_slam.engine.loop_edges)
         stage_timing = app.scan_matcher.engine.timer.summary()
@@ -313,14 +338,18 @@ def _bench_full_slam(scans=None, quick=False):
     lat = np.asarray(lat)  # warmup() ran: every scan is a steady-state scan
     return {
         "scans": len(scans),
+        "scans_processed": len(lat),
+        "scans_dropped": q.dropped,
+        "drop_rate": round(q.dropped / max(q.pushed, 1), 4),
         "loop_closures": loops,
         "warmup_s": round(warmup_s, 1),
         "warmup_split": {k: round(v, 1) for k, v in warm.items()},
         "scan_ms_p50": round(1000 * float(np.percentile(lat, 50)), 2),
         "scan_ms_p99": round(1000 * float(np.percentile(lat, 99)), 2),
         "scan_ms_max": round(1000 * float(lat.max()), 2),
-        "realtime_factor": round((len(lat) * period) / max(1e-9, wall), 2),
+        "realtime_factor": round((len(scans) * period) / max(1e-9, wall), 2),
         "pacing_hz": 10,
+        "qos": "best_effort_keep_last_5",
         "backend": "async_worker_thread",
         "stage_timing": stage_timing,
     }

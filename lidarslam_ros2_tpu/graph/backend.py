@@ -150,7 +150,11 @@ class GraphBasedSlam:
         window = PointCloud.empty(cfg.window_capacity)
         tgt = voxel_downsample(window, cfg.voxel_leaf_size, cfg.target_capacity)
         result = self._register(tgt, PointCloud.empty(cfg.source_capacity))
-        jax.block_until_ready(result.T)
+        # a real D2H read (not just block_until_ready): the relay's first
+        # device->host fetch is a one-time multi-second cost — see
+        # frontend.ScanMatcher.warmup
+        np.asarray(result.T)
+        float(result.fitness)
         vb = 64
         while True:
             self._warm_graph_bucket(vb, 8)
@@ -391,5 +395,6 @@ class GraphBasedSlam:
             cfg.gicp.voxel_capacity,
             cfg.gicp.min_points_per_voxel,
             cfg.gicp.plane_epsilon,
+            cfg.gicp.source_cov_neighborhood,
         )
         return reg.gicp_align(cfg.gicp, tgt, source, src_cov, guess)

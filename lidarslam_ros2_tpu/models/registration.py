@@ -83,6 +83,10 @@ class GICPConfig:
     voxel_capacity: int = 32768
     min_points_per_voxel: int = 4
     plane_epsilon: float = 1e-3  # GICP eigenvalue regularization (1,1,eps)
+    # source plane covariances from the DIRECT7 neighbor-merged voxel
+    # moments (the kd-tree-20-NN stand-in; identity-fallback rate drops
+    # 24% -> ~0 on the parity course). False = own-voxel-only (round 4)
+    source_cov_neighborhood: bool = True
     dilation_factor: int = 4  # fat-row index capacity factor (see NDTConfig)
     compute_fitness: bool = True
     lambda_init: float = 1e-6
@@ -433,6 +437,7 @@ class Registration:
                 voxel_capacity=self.gicp_cfg.voxel_capacity,
                 min_points=self.gicp_cfg.min_points_per_voxel,
                 plane_epsilon=self.gicp_cfg.plane_epsilon,
+                neighborhood=self.gicp_cfg.source_cov_neighborhood,
             )
 
     def align(self, guess: jnp.ndarray | None = None) -> RegistrationResult:

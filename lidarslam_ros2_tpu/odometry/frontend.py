@@ -197,6 +197,7 @@ def register_scan(
             cfg.gicp.voxel_capacity,
             cfg.gicp.min_points_per_voxel,
             cfg.gicp.plane_epsilon,
+            cfg.gicp.source_cov_neighborhood,
         )
         result = reg.gicp_align(cfg.gicp, state.target, source, src_cov, guess)
 
@@ -239,10 +240,17 @@ def frontend_step(
 @partial(jax.jit, static_argnames=("cfg",))
 def insert_keyframe(
     cfg: FrontendConfig, state: FrontendState, filtered_raw: PointCloud
-) -> FrontendState:
+) -> Tuple[FrontendState, PointCloud]:
     """Ring-insert a keyframe cloud (LOCAL frame, vg_size_for_map) WITHOUT
     rebuilding the registration target — the insert half of the reference's
-    updateMap (scanmatcher_component.cpp:438-475)."""
+    updateMap (scanmatcher_component.cpp:438-475).
+
+    Also returns the inserted cloud itself: the host MapArray needs it, and
+    returning it from the SAME program means the host never slices the
+    device ring afterwards (each ``state.kf_xyz[slot]`` with a new python
+    slot value is a fresh tiny XLA program — ~5-10 s each through a
+    remote-TPU relay, which is exactly the class of mid-run stall warmup
+    exists to prevent)."""
     kf_cloud, kf_dropped = voxel_downsample_counted(
         filtered_raw, cfg.vg_size_for_map, cfg.keyframe_capacity
     )
@@ -268,7 +276,7 @@ def insert_keyframe(
             )
             stats_dropped = jnp.maximum(stats_dropped, p.n_dropped)
         kf_stats = tuple(new_stats)
-    return state._replace(
+    new_state = state._replace(
         previous_position=se3.translation(state.pose),
         latest_distance=state.latest_distance + state.trans,
         kf_xyz=state.kf_xyz.at[slot].set(kf_cloud.xyz),
@@ -281,6 +289,7 @@ def insert_keyframe(
         kf_stats=kf_stats,
         last_kf_stats_dropped=stats_dropped,
     )
+    return new_state, kf_cloud
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -323,10 +332,13 @@ def build_target_from_ring(
 @partial(jax.jit, static_argnames=("cfg",))
 def keyframe_update(
     cfg: FrontendConfig, state: FrontendState, filtered_raw: PointCloud
-) -> FrontendState:
+) -> Tuple[FrontendState, PointCloud]:
     """Insert a keyframe and rebuild the registration target
-    (reference updateMap, scanmatcher_component.cpp:438-491)."""
-    return build_target_from_ring(cfg, insert_keyframe(cfg, state, filtered_raw))
+    (reference updateMap, scanmatcher_component.cpp:438-491). Returns the
+    rebuilt state AND the inserted LOCAL keyframe cloud (host MapArray
+    payload — see :func:`insert_keyframe`)."""
+    state, kf_cloud = insert_keyframe(cfg, state, filtered_raw)
+    return build_target_from_ring(cfg, state), kf_cloud
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -432,10 +444,18 @@ class ScanMatcher:
         _, state2, out = frontend_step(
             cfg, state, raw, imu_hist, odom, jnp.asarray(False)
         )
-        state3 = keyframe_update(cfg, state, filtered)
+        state3, kf_cloud = keyframe_update(cfg, state, filtered)
         # li_slam-style feedback path (adopt_correction)
         state4 = build_target_from_ring(cfg, rebuild_stats_ring(cfg, state))
         jax.block_until_ready((out, state2.pose, state3.pose, state4.pose))
+        # REAL device->host data reads, not just block_until_ready: the very
+        # first D2H fetch through a remote-attached TPU relay has been
+        # measured at 30-330 s (one-time tunnel setup) — absorbing it here
+        # instead of on scan 0's map-array copy is the difference between a
+        # real-time first scan and a 30+ second stall
+        kf_cloud.to_numpy()
+        jax.device_get(out)
+        self._target_overflow(state3)
         return time.perf_counter() - t0
 
     # -- inputs -------------------------------------------------------------
@@ -528,8 +548,10 @@ class ScanMatcher:
             # mapping thread here, :427-434, guarded by !mapping_flag_;
             # while one is in flight, further keyframe triggers are skipped)
             with self.timer.stage("keyframe_dispatch"), trace("keyframe_update"):
-                pend = keyframe_update(cfg, self.state, filtered_raw)
-                fut = self._mapping_pool.submit(self._prefetch_mapping, pend)
+                pend, kf_cloud = keyframe_update(cfg, self.state, filtered_raw)
+                fut = self._mapping_pool.submit(
+                    self._prefetch_mapping, pend, kf_cloud
+                )
                 self._pending = (pend, stamp, pose_np, fut)
             result["keyframe"] = True
             if not cfg.async_map_update:
@@ -541,17 +563,15 @@ class ScanMatcher:
                 self.overflow_max[k] = v
         return result
 
-    def _prefetch_mapping(self, pend: FrontendState):
+    def _prefetch_mapping(self, pend: FrontendState, kf_cloud: PointCloud):
         """Mapping-worker half of the integration (runs on the pool thread,
         like the reference's updateMap thread): wait for the device to finish
         the rebuild, then pull everything the host will need — the submap
-        cloud, travel distance, and overflow counters — so adoption on the
-        scan path never touches the device."""
-        K = self.cfg.num_targeted_cloud
-        slot = (int(pend.kf_next) - 1) % K
-        cloud_np = PointCloud(
-            pend.kf_xyz[slot], pend.kf_intensity[slot], pend.kf_valid[slot]
-        ).to_numpy()
+        cloud (returned by the keyframe_update program itself: slicing the
+        device ring here would compile a tiny per-slot XLA program, seconds
+        each over a remote relay), travel distance, and overflow counters —
+        so adoption on the scan path never touches the device."""
+        cloud_np = kf_cloud.to_numpy()
         distance = float(pend.latest_distance)
         overflow = self._target_overflow(pend)
         jax.block_until_ready(jax.tree.leaves(pend.target))
@@ -693,26 +713,14 @@ class ScanMatcher:
         """First scan: seed submap #0 + initial target
         (reference initializeMap, :262-294)."""
         self.state = self._empty_state()
-        self.state = keyframe_update(self.cfg, self.state, filtered_raw)
+        self.state, kf_cloud = keyframe_update(self.cfg, self.state, filtered_raw)
         # initializeMap does not advance previous_position/latest_distance
-        self._append_submap(np.asarray(self.state.pose), stamp)
-
-    def _append_submap(self, pose: np.ndarray, stamp: float) -> None:
-        """Copy the keyframe cloud just inserted on device into the host
-        MapArray (LOCAL frame, like SubMap.msg cloud semantics)."""
-        K = self.cfg.num_targeted_cloud
-        slot = (int(self.state.kf_next) - 1) % K
-        cloud = PointCloud(
-            self.state.kf_xyz[slot],
-            self.state.kf_intensity[slot],
-            self.state.kf_valid[slot],
-        )
         self.map_array.append(
             SubMap(
                 stamp=stamp,
-                pose=pose.astype(np.float32),
+                pose=np.asarray(self.state.pose).astype(np.float32),
                 distance=float(self.state.latest_distance),
-                cloud=cloud.to_numpy(),
+                cloud=kf_cloud.to_numpy(),
             )
         )
 
@@ -738,7 +746,7 @@ class ScanMatcher:
             state = state._replace(
                 pose=jnp.asarray(s.pose), trans=jnp.float32(0.0)
             )
-            state = insert_keyframe(cfg, state, cloud)
+            state, _ = insert_keyframe(cfg, state, cloud)
         state = build_target_from_ring(cfg, state)
         self.state = state._replace(
             latest_distance=jnp.float32(last.distance),

@@ -34,7 +34,7 @@ from ..core.voxel import (
 from .eig3 import eigh3
 from .gn_terms import gn_terms_channels, inv3x3_sym_channels
 from .ndt import DIRECT7_OFFSETS, build_fat_rows, build_hash_rows, probe_fat_rows
-from .voxelize import voxel_stats
+from .voxelize import partial_voxel_stats, voxel_centers, voxel_stats
 
 
 def _inv3x3(A: jnp.ndarray) -> jnp.ndarray:
@@ -156,31 +156,99 @@ def build_gicp_target(
     )
 
 
-@partial(jax.jit, static_argnums=(1, 2, 3, 4))
+@partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
 def source_covariances(
     cloud: PointCloud,
     resolution: float,
     voxel_capacity: int,
     min_points: int = 4,
     plane_epsilon: float = 1e-3,
+    neighborhood: bool = True,
 ) -> jnp.ndarray:
-    """Per-source-point plane covariance from the point's own voxel
-    neighborhood; identity fallback for sparse voxels. f32[N,3,3].
+    """Per-source-point plane covariance; identity fallback only when even
+    the neighborhood is too sparse. f32[N,3,3].
+
+    ``neighborhood=True`` (default) merges the DIRECT7 neighbor voxels'
+    moments around each point's own voxel before estimating the plane —
+    the TPU-native stand-in for PCL GICP's kd-tree 20-NN covariances
+    (k-NN crosses voxel borders; a single 1 m voxel of a 0.2 m-downsampled
+    scan often holds < 4 points, and the resulting identity fallback rate
+    measured 24% on the parity course — a quarter of the correspondences
+    degrading to unweighted point-to-point was the dominant GICP-vs-NDT
+    quality gap suspect). Moments are voxel-center-relative
+    (ops/voxelize.PartialVoxelStats), so merging re-centers each neighbor's
+    moments to the point's own voxel center first. ``False`` = the round-4
+    own-voxel-only behavior.
 
     jitted at top level: host callers (Registration.set_input_source, the
     bench) would otherwise run it op-by-op — ~2k dispatches through a
     remote-TPU relay is ~1000x slower than the compiled program."""
-    stats = voxel_stats(
-        cloud, resolution, voxel_capacity, min_points=min_points, min_eig_ratio=1e-3
-    )
-    cov = plane_regularize(stats.cov, plane_epsilon)
-    table = build_hash_table(stats.coords, stats.valid, table_size=2 * voxel_capacity)
+    if not neighborhood:
+        stats = voxel_stats(
+            cloud, resolution, voxel_capacity, min_points=min_points,
+            min_eig_ratio=1e-3,
+        )
+        cov = plane_regularize(stats.cov, plane_epsilon)
+        table = build_hash_table(
+            stats.coords, stats.valid, table_size=2 * voxel_capacity
+        )
+        coords = voxel_coords(cloud.xyz, 1.0 / resolution)
+        idx = lookup_hash_table(table, coords)
+        ok = (idx >= 0) & cloud.valid
+        safe = jnp.maximum(idx, 0)
+        return jnp.where(
+            ok[:, None, None], cov[safe], jnp.eye(3, dtype=cov.dtype)
+        )
+
+    p = partial_voxel_stats(cloud, resolution, voxel_capacity)
+    occ = p.moments[:, 0] > 0
+    table = build_hash_table(p.coords, occ, table_size=2 * voxel_capacity)
     coords = voxel_coords(cloud.xyz, 1.0 / resolution)
-    idx = lookup_hash_table(table, coords)
-    ok = (idx >= 0) & cloud.valid
+    nc = coords[:, None, :] + DIRECT7_OFFSETS[None]
+    idx = lookup_hash_table(table, nc)  # i32[N,7]
+    found = (idx >= 0)[..., None].astype(jnp.float32)
     safe = jnp.maximum(idx, 0)
-    out = jnp.where(ok[:, None, None], cov[safe], jnp.eye(3, dtype=cov.dtype))
-    return out
+    m = p.moments[safe] * found  # [N,7,10]
+    c0 = voxel_centers(coords, resolution)  # [N,3]
+    d = (
+        voxel_centers(nc.reshape(-1, 3), resolution).reshape(nc.shape)
+        - c0[:, None, :]
+    ) * found  # neighbor-center offset, zeroed for misses
+    n, s = m[..., 0], m[..., 1:4]
+    # shift each neighbor's center-relative moments to c0:
+    #   s' = s + n d;  Q'_ab = Q_ab + d_a s_b + d_b s_a + n d_a d_b
+    dx, dy, dz = d[..., 0], d[..., 1], d[..., 2]
+    sx, sy, sz = s[..., 0], s[..., 1], s[..., 2]
+    N = jnp.sum(n, axis=1)
+    S = jnp.sum(s + n[..., None] * d, axis=1)
+    Q = jnp.stack(
+        [
+            jnp.sum(m[..., 4] + 2 * dx * sx + n * dx * dx, 1),
+            jnp.sum(m[..., 5] + dx * sy + dy * sx + n * dx * dy, 1),
+            jnp.sum(m[..., 6] + dx * sz + dz * sx + n * dx * dz, 1),
+            jnp.sum(m[..., 7] + 2 * dy * sy + n * dy * dy, 1),
+            jnp.sum(m[..., 8] + dy * sz + dz * sy + n * dy * dz, 1),
+            jnp.sum(m[..., 9] + 2 * dz * sz + n * dz * dz, 1),
+        ],
+        axis=-1,
+    )
+    Nn = jnp.maximum(N, 1.0)
+    mu = S / Nn[:, None]
+    rows = (
+        (Q[:, 0] / Nn - mu[:, 0] * mu[:, 0],
+         Q[:, 1] / Nn - mu[:, 0] * mu[:, 1],
+         Q[:, 2] / Nn - mu[:, 0] * mu[:, 2]),
+        (Q[:, 1] / Nn - mu[:, 0] * mu[:, 1],
+         Q[:, 3] / Nn - mu[:, 1] * mu[:, 1],
+         Q[:, 4] / Nn - mu[:, 1] * mu[:, 2]),
+        (Q[:, 2] / Nn - mu[:, 0] * mu[:, 2],
+         Q[:, 4] / Nn - mu[:, 1] * mu[:, 2],
+         Q[:, 5] / Nn - mu[:, 2] * mu[:, 2]),
+    )
+    cov = jnp.stack([jnp.stack(r, axis=-1) for r in rows], axis=-2)
+    covr = plane_regularize(cov, plane_epsilon)
+    ok = (N >= min_points) & cloud.valid
+    return jnp.where(ok[:, None, None], covr, jnp.eye(3, dtype=cov.dtype))
 
 
 def _correspond(

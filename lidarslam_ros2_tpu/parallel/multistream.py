@@ -122,7 +122,7 @@ def _batched_step_fn(cfg: FrontendConfig):
 
         def do_rebuild(args):
             states, filtered = args
-            rebuilt = vrebuild(states, filtered)
+            rebuilt, _ = vrebuild(states, filtered)
             return jax.tree.map(
                 lambda a, b: jnp.where(
                     jnp.reshape(insert, insert.shape + (1,) * (a.ndim - 1)), b, a
@@ -153,7 +153,7 @@ def _serve_one(cfg: FrontendConfig, states: FrontendState, pend: PendingKF):
         xyz=pend.xyz[j], intensity=pend.intensity[j], valid=pend.valid[j]
     )
     live_pose = st_j.pose
-    rebuilt = keyframe_update(
+    rebuilt, _ = keyframe_update(
         cfg, st_j._replace(pose=pend.pose[j], trans=pend.trans[j]), cloud
     )
     rebuilt = rebuilt._replace(
@@ -190,7 +190,7 @@ def _deferred_step_fn(cfg: FrontendConfig):
         # target for several steps would drift beyond the convergence basin
         def do_boot(args):
             states, filtered = args
-            rebuilt = vrebuild(states, filtered)
+            rebuilt, _ = vrebuild(states, filtered)
             return jax.tree.map(
                 lambda a, b: jnp.where(
                     jnp.reshape(uninit, uninit.shape + (1,) * (a.ndim - 1)),

@@ -27,8 +27,8 @@ def _stage_courses(scans_dir: str) -> int:
     pointed at the pre-stage dir (same key scheme — zero consumer changes)."""
     from ..utils import synthetic
     from ..utils.synthetic import (
+        HDL64,
         VLP16,
-        VLP32,
         World,
         circle_trajectory,
         line_trajectory,
@@ -49,11 +49,17 @@ def _stage_courses(scans_dir: str) -> int:
         if k % 16 == 0:
             print(f"  course scan {k}/97", flush=True)
 
-    # bench multistream: World(seed=3), VLP32 line course at n_steps=48
+    # bench multistream (BASELINE config 5 run literally since r5):
+    # World(seed=3), 64-beam KITTI-class line course at n_steps=48
+    import bench
+
     world3 = World(seed=3)
-    for k, pose in enumerate(line_trajectory(6, step=0.3)):
-        simulate_scan(world3, pose, VLP32, noise=0.01, seed=k, n_steps=48)
+    for k, pose in enumerate(
+        line_trajectory(6, step=bench._MULTISTREAM_STEP)
+    ):
+        simulate_scan(world3, pose, HDL64, noise=0.01, seed=k, n_steps=48)
         n += 1
+        print(f"  hdl64 frame {k}/6", flush=True)
 
     # the long_course scans are NOT pre-staged: they come from the exact-
     # geometry cast_scan (~0.24 s/scan, ~95 s for the 400-scan course) and

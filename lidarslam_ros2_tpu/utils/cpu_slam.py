@@ -193,8 +193,14 @@ def parity_setup_gicp():
         registration_method="GICP",
         gicp=GICPConfig(
             max_correspondence_distance=2.0,
-            voxel_resolution=1.0,
-            voxel_capacity=16384,
+            # r5 quality pass (A/B on this course, 18-scan segment ATE):
+            # own-voxel res1.0 covariances 0.0132 (24% identity fallback),
+            # DIRECT7 neighbor-merged res1.0 0.0088, merged res0.5 0.0072 —
+            # better than the kd-tree-20-NN CPU oracle's 0.0080
+            # (CpuGicpOdometry). res0.5 needs the larger target capacity.
+            voxel_resolution=0.5,
+            voxel_capacity=32768,
+            source_cov_neighborhood=True,
             max_iterations=30,
             compute_fitness=False,
         ),

@@ -90,4 +90,40 @@ def test_gicp_frontend_ate():
     ate_ndt = cpu_slam.ate_rmse(smn.get_path(), gt_arr)
     assert ate_gicp < 0.25, f"GICP frontend diverged: ATE {ate_gicp:.3f} m"
     # co-equal methods: GICP may not be wildly worse than NDT on this course
-    assert ate_gicp < max(3.0 * ate_ndt, ate_ndt + 0.1), (ate_gicp, ate_ndt)
+    # (r5: neighbor-merged covariances at res 0.5 brought the gap from
+    # 1.74x to ~1.4x; the CPU kd-tree GICP oracle itself sits at ~1.6x NDT
+    # here — GICP is simply weaker than coarse-to-fine NDT on this course)
+    assert ate_gicp < max(2.0 * ate_ndt, ate_ndt + 0.1), (ate_gicp, ate_ndt)
+
+
+def test_gicp_ate_parity_vs_cpu_oracle():
+    """TPU GICP vs ITS OWN CPU oracle (kd-tree 20-NN covariances,
+    CpuGicpOdometry — the covariance model PCL GICP uses,
+    scanmatcher_component.cpp:115-120): the voxelized TPU design must land
+    within 1.1x of the faithful CPU implementation on the parity course
+    (measured 0.9x at r5 — the DIRECT7 neighbor-merged covariances)."""
+    scans, gt, _, _ = cpu_slam.parity_setup(n_scans=18)
+    gcfg = cpu_slam.parity_setup_gicp()
+
+    smg = ScanMatcher(gcfg, initial_pose=gt[0])
+    for k, scan in enumerate(scans):
+        smg.process_scan(scan, stamp=0.1 * k)
+    smg.flush_map_update()
+
+    oracle = cpu_slam.CpuGicpOdometry(
+        initial_pose=gt[0],
+        max_correspondence_distance=gcfg.gicp.max_correspondence_distance,
+        trans_for_mapupdate=gcfg.trans_for_mapupdate,
+        vg_size_for_input=gcfg.vg_size_for_input,
+        vg_size_for_map=gcfg.vg_size_for_map,
+        num_targeted_cloud=gcfg.num_targeted_cloud,
+        max_iterations=gcfg.gicp.max_iterations,
+    )
+    for scan in scans:
+        oracle.process_scan(scan)
+
+    gt_arr = np.stack(gt)
+    ate_tpu = cpu_slam.ate_rmse(smg.get_path(), gt_arr)
+    ate_cpu = cpu_slam.ate_rmse(oracle.get_path(), gt_arr)
+    assert ate_cpu < 0.2, f"CPU GICP oracle diverged: {ate_cpu:.3f} m"
+    assert ate_tpu < max(1.1 * ate_cpu, ate_cpu + 0.02), (ate_tpu, ate_cpu)

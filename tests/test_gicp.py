@@ -60,8 +60,15 @@ def test_gicp_registration_recovers_transform():
 def test_gicp_facade():
     pts = np.random.default_rng(3).normal(scale=8.0, size=(3000, 3)).astype(np.float32)
     cloud = PointCloud.from_numpy(pts, 4096)
+    # own-voxel source covariances: self-alignment of an UNSTRUCTURED random
+    # blob is only exactly stationary at identity when source and target use
+    # the same (voxel) covariance model; the neighbor-merged default is
+    # asymmetric by design (like PCL's kd-tree source covariances) and this
+    # test checks the facade contract, not the covariance model (which
+    # tests/test_ate_parity.py gates against the CPU kd-tree oracle)
     reg = Registration(
-        "GICP", gicp=GICPConfig(voxel_resolution=2.0, voxel_capacity=4096)
+        "GICP", gicp=GICPConfig(voxel_resolution=2.0, voxel_capacity=4096,
+                                source_cov_neighborhood=False)
     )
     reg.set_input_target(cloud)
     reg.set_input_source(cloud)
