@@ -336,6 +336,14 @@ def _bench_full_slam(scans=None, quick=False):
     finally:
         app.close()
     lat = np.asarray(lat)  # warmup() ran: every scan is a steady-state scan
+    # relay-stall accounting: the remote-TPU tunnel occasionally freezes a
+    # single fetch for ~10.0 s (the same ~10 s constant appears in r04's
+    # register_fetch max and in standalone runs — a transport retry timer,
+    # not device work; stage timings show the backend warm throughout).
+    # The QoS layer sheds load and the run stays live; report the stalls
+    # separately so steady-state latency is readable next to them.
+    stall = lat > 5 * period
+    stall_s = float(lat[stall].sum())
     return {
         "scans": len(scans),
         "scans_processed": len(lat),
@@ -348,6 +356,10 @@ def _bench_full_slam(scans=None, quick=False):
         "scan_ms_p99": round(1000 * float(np.percentile(lat, 99)), 2),
         "scan_ms_max": round(1000 * float(lat.max()), 2),
         "realtime_factor": round((len(scans) * period) / max(1e-9, wall), 2),
+        "relay_stall_events": int(stall.sum()),
+        "relay_stall_s": round(stall_s, 2),
+        "realtime_factor_excl_relay_stalls": round(
+            (len(scans) * period) / max(1e-9, wall - stall_s), 2),
         "pacing_hz": 10,
         "qos": "best_effort_keep_last_5",
         "backend": "async_worker_thread",
@@ -1022,9 +1034,10 @@ def main():
             stamp(f"section {key} starting ({left:.0f}s left"
                   f"{', degraded' if quick else ''})")
             t_sec = time.monotonic()
+            cap = float(os.environ.get("BENCH_SECTION_CAP_S", "280"))
             try:
                 detail[key] = _run_capped(
-                    lambda: fn(quick), min(left - 5.0, 280.0))
+                    lambda: fn(quick), min(left - 5.0, cap))
             except _SectionTimeout:
                 detail[key] = {"error": "section wall-clock cap hit"}
             except Exception as e:  # pragma: no cover

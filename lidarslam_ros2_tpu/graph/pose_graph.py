@@ -284,6 +284,159 @@ def _banded_solve(L: jnp.ndarray, rhs: jnp.ndarray, w: int) -> jnp.ndarray:
     return x
 
 
+# ---------------------------------------------------------------------------
+# Log-depth banded solve: supernode block-tridiagonal cyclic reduction
+# ---------------------------------------------------------------------------
+#
+# The scan-based banded Cholesky above is EXACT but sequential: 3 scans of V
+# steps per GN solve (factor + fwd + bwd) x 10 GN iterations ~ 30V sequential
+# device steps — measured 3.8 s warm at V=4096 (Tsukuba-class trajectories;
+# the reference's g2o solves the same graph in tens of ms on a CPU). Cyclic
+# reduction re-shapes the chain into log2(V/w) rounds of BATCHED dense
+# m x m = 6w x 6w block algebra (Cholesky + matmuls — MXU work), eliminating
+# the sequential chain entirely. SPD is preserved round-to-round (every
+# reduced diagonal is a Schur complement of an SPD matrix), so no pivoting
+# is needed. Cross-validated against the scan path and scipy in
+# tests/test_pose_graph.py / tests/test_pose_graph_scale.py.
+
+
+def _chol_solve_m(D: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
+    """Batched SPD solve D X = B via Cholesky; D [..., m, m], B [..., m, r]."""
+    L = jnp.linalg.cholesky(D)
+    Y = jax.lax.linalg.triangular_solve(
+        L, B, left_side=True, lower=True, transpose_a=False
+    )
+    return jax.lax.linalg.triangular_solve(
+        L, Y, left_side=True, lower=True, transpose_a=True
+    )
+
+
+def _band_to_blocktridiag(band: jnp.ndarray, w: int):
+    """Pack the block band [V, w+1, 6, 6] (slot d = H[v, v-d]) into supernode
+    block-tridiagonal form: D [S, m, m] diagonals, A [S-1, m, m] sub-diagonal
+    couplings (A[s] = H[s+1, s] in supernodes), with m = 6w and supernode s
+    covering vertices [s*w, (s+1)*w). The band reaches at most w vertices, so
+    supernode coupling never exceeds one neighbor — exactly tridiagonal."""
+    V = band.shape[0]
+    S = -(-V // w)
+    Vp = S * w
+    eye = jnp.eye(6, dtype=band.dtype)
+    if Vp > V:  # pad with decoupled identity rows (gauge-style)
+        pad = jnp.zeros((Vp - V, w + 1, 6, 6), band.dtype).at[:, 0].set(eye)
+        band = jnp.concatenate([band, pad], axis=0)
+
+    s_idx = jnp.arange(S)[:, None, None]
+    a_idx = jnp.arange(w)[None, :, None]
+    b_idx = jnp.arange(w)[None, None, :]
+
+    # diagonal supernode blocks: entry (a, b) of supernode s
+    v_low = s_idx * w + a_idx  # row vertex when a >= b
+    d_low = a_idx - b_idx
+    low = band[jnp.clip(v_low, 0, Vp - 1),
+               jnp.clip(d_low, 0, w)] * (d_low >= 0)[..., None, None]
+    v_up = s_idx * w + b_idx  # for a < b use the transpose of H[j, j-(b-a)]
+    d_up = b_idx - a_idx
+    up = band[jnp.clip(v_up, 0, Vp - 1),
+              jnp.clip(d_up, 0, w)] * (d_up > 0)[..., None, None]
+    Dblk = low + jnp.swapaxes(up, -1, -2)  # [S, w, w, 6, 6]
+    D = Dblk.transpose(0, 1, 3, 2, 4).reshape(S, 6 * w, 6 * w)
+
+    if S > 1:
+        # A[s][a, b] = H[(s+1)w + a, s w + b] = band[(s+1)w + a, w + a - b],
+        # nonzero only for a <= b (distance w + a - b <= w)
+        s2 = jnp.arange(S - 1)[:, None, None]
+        v_a = (s2 + 1) * w + a_idx
+        d_a = w + a_idx - b_idx
+        Ablk = band[jnp.clip(v_a, 0, Vp - 1),
+                    jnp.clip(d_a, 0, w)] * (d_a <= w)[..., None, None]
+        A = Ablk.transpose(0, 1, 3, 2, 4).reshape(S - 1, 6 * w, 6 * w)
+    else:
+        A = jnp.zeros((0, 6 * w, 6 * w), band.dtype)
+    return D, A
+
+
+def _cr_solve(D: jnp.ndarray, A: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
+    """Solve the SPD block-tridiagonal system (D, A) X = B by cyclic
+    reduction. D [S,m,m]; A [S-1,m,m] with A[s] = H[s+1, s]; B [S,m,r].
+    Static log2(S) rounds (S is shape-derived, so each bucket compiles its
+    own fixed-depth program)."""
+    m = D.shape[1]
+    eye = jnp.eye(m, dtype=D.dtype)
+    stack = []
+    while D.shape[0] > 1:
+        S_in = D.shape[0]
+        S = S_in
+        if S % 2 == 1:  # pad to even with a decoupled identity node
+            D = jnp.concatenate([D, eye[None]], axis=0)
+            B = jnp.concatenate([B, jnp.zeros((1,) + B.shape[1:], B.dtype)])
+            S += 1
+        # A padded so A_pad[s] exists for every s (zero at the chain end)
+        npad = S - 1 - A.shape[0]
+        A_pad = jnp.concatenate(
+            [A, jnp.zeros((npad + 1, m, m), A.dtype)], axis=0
+        )  # [S, m, m]; A_pad[S-1] = 0
+        Dod = D[1::2]  # odd nodes j = 2k+1, k = 0..S/2-1
+        A_L = A_pad[0::2]  # A[2k]   (couples odd j to even j-1)
+        A_R = A_pad[1::2]  # A[2k+1] (couples even j+1 to odd j; 0 at end)
+        # one batched Cholesky of the odd diagonals, three solves
+        Lod = jnp.linalg.cholesky(Dod)
+
+        def dsolve(X):
+            Y = jax.lax.linalg.triangular_solve(
+                Lod, X, left_side=True, lower=True, transpose_a=False
+            )
+            return jax.lax.linalg.triangular_solve(
+                Lod, Y, left_side=True, lower=True, transpose_a=True
+            )
+
+        Wl = dsolve(A_L)  # D_j^-1 A[j-1]
+        Wr = dsolve(jnp.swapaxes(A_R, -1, -2))  # D_j^-1 A[j]^T
+        Wb = dsolve(B[1::2])  # D_j^-1 b_j
+        stack.append((Wl, Wr, Wb, S, S_in))
+
+        AtWl = jnp.einsum("kba,kbc->kac", A_L, Wl)  # A[2k]^T D^-1 A[2k]
+        AWr = jnp.einsum("kab,kbc->kac", A_R, Wr)  # A[2k+1] D^-1 A[2k+1]^T
+        AWb_r = jnp.einsum("kba,kbr->kar", A_L, Wb)  # A[2k]^T D^-1 b
+        AWb_l = jnp.einsum("kab,kbr->kar", A_R, Wb)  # A[2k+1] D^-1 b
+        sh = lambda X: jnp.concatenate(  # noqa: E731 — shift k-1 into k
+            [jnp.zeros((1,) + X.shape[1:], X.dtype), X[:-1]], axis=0
+        )
+        D = D[0::2] - AtWl - sh(AWr)
+        B = B[0::2] - AWb_r - sh(AWb_l)
+        # A'[k] = -A[2k+1] D^-1_{2k+1} A[2k], k = 0..S/2-2
+        A = -jnp.einsum("kab,kbc->kac", A_R, Wl)[: S // 2 - 1]
+
+    X = _chol_solve_m(D[0], B[0])[None]  # [1, m, r]
+    for Wl, Wr, Wb, S, S_in in reversed(stack):
+        Xe = X[: S // 2]  # even nodes of this round
+        Xnext = jnp.concatenate(
+            [Xe[1:], jnp.zeros((1,) + Xe.shape[1:], Xe.dtype)], axis=0
+        )
+        Xo = Wb - jnp.einsum("kab,kbr->kar", Wl, Xe) - jnp.einsum(
+            "kab,kbr->kar", Wr, Xnext
+        )
+        X = jnp.stack([Xe, Xo], axis=1).reshape(S, *Xe.shape[1:])[:S_in]
+    return X
+
+
+def _solve_banded_spd(band: jnp.ndarray, rhs: jnp.ndarray, w: int):
+    """Drop-in replacement for banded-Cholesky-factor-then-solve: solve
+    H x = rhs with H in band storage [V, w+1, 6, 6], rhs [V, R, 6].
+    Log-depth cyclic reduction (see above)."""
+    V, R = rhs.shape[0], rhs.shape[1]
+    D, A = _band_to_blocktridiag(band, w)
+    S, m = D.shape[0], D.shape[1]
+    B = jnp.swapaxes(rhs, 1, 2)  # [V, 6, R]
+    if S * w > V:
+        B = jnp.concatenate(
+            [B, jnp.zeros((S * w - V, 6, R), B.dtype)], axis=0
+        )
+    B = B.reshape(S, m, R)
+    X = _cr_solve(D, A, B)
+    x = X.reshape(S * w, 6, R)[:V]
+    return jnp.swapaxes(x, 1, 2)  # [V, R, 6]
+
+
 @partial(jax.jit, static_argnames=("gn_iters", "cg_iters", "band_width",
                                    "robust_kernel"))
 def optimize_pose_graph(
@@ -378,16 +531,17 @@ def optimize_pose_graph(
         band = band.at[anchor, 0].add(
             alpha * free[anchor] * jnp.eye(6, dtype=jnp.float32)
         )
-        Lband = _banded_cholesky(band, w)
 
         Ucols_all = jnp.concatenate([Ucols, Vcols], axis=1)  # [V, 6L+6, 6]
         sign = jnp.concatenate(
             [jnp.ones(6 * L), -jnp.ones(6)]
         ).astype(jnp.float32)
 
-        # batched banded solve over [b | U | V] right-hand sides
+        # batched banded solve over [b | U | V] right-hand sides — one
+        # log-depth cyclic reduction (was: sequential banded-Cholesky scans,
+        # 3.8 s warm at V=4096; see _solve_banded_spd)
         rhs = jnp.concatenate([b[:, None, :], Ucols_all], axis=1)
-        X = _banded_solve(Lband, rhs, w)
+        X = _solve_banded_spd(band, rhs, w)
         s, W = X[:, 0], X[:, 1:]
 
         # generalized Woodbury: dx = s - B^-1 Uall (S^-1 + Uall^T B^-1 Uall)^-1 Uall^T s

@@ -123,3 +123,62 @@ def test_pcd_roundtrip(tmp_path, rng):
     save_pcd(p3, pts[:, :3])
     back = load_pcd(p3)
     np.testing.assert_allclose(back[:, 3], 0.0)
+
+
+def _random_spd_band(rng, V, w):
+    """Random SPD block-banded system in band storage [V, w+1, 6, 6]."""
+    import numpy as np
+
+    band = rng.normal(scale=0.3, size=(V, w + 1, 6, 6)).astype(np.float32)
+    # diagonal blocks must be symmetric (the real band's diagonals are
+    # J^T J sums + damping — _assemble_band); off-band blocks are free
+    band[:, 0] = 0.5 * (band[:, 0] + band[:, 0].transpose(0, 2, 1))
+    # zero blocks whose column index falls off the matrix
+    for v in range(V):
+        for d in range(w + 1):
+            if v - d < 0:
+                band[v, d] = 0.0
+    # densify (band holds the lower triangle), symmetrize, shift to SPD
+    H = np.zeros((6 * V, 6 * V), np.float32)
+    for v in range(V):
+        for d in range(w + 1):
+            if v - d < 0:
+                continue
+            H[6 * v:6 * v + 6, 6 * (v - d):6 * (v - d) + 6] = band[v, d]
+            if d > 0:
+                H[6 * (v - d):6 * (v - d) + 6, 6 * v:6 * v + 6] = band[v, d].T
+    shift = float(np.abs(H).sum(axis=1).max()) + 1.0
+    H = H + shift * np.eye(6 * V, dtype=np.float32)
+    band[:, 0] += shift * np.eye(6, dtype=np.float32)
+    return band, H
+
+
+def test_cyclic_reduction_solver_matches_scan_and_dense(rng):
+    """The log-depth cyclic-reduction banded solve (the production path in
+    optimize_pose_graph since r5) must agree with BOTH the sequential
+    banded-Cholesky scan it replaced and a dense numpy solve, across odd /
+    even / non-multiple-of-w vertex counts and bandwidths."""
+    import jax.numpy as jnp
+
+    from lidarslam_ros2_tpu.graph.pose_graph import (
+        _banded_cholesky,
+        _banded_solve,
+        _solve_banded_spd,
+    )
+
+    for V, w, R in [(7, 2, 3), (33, 3, 8), (64, 5, 13), (97, 5, 1)]:
+        band_np, H = _random_spd_band(rng, V, w)
+        rhs = rng.normal(size=(V, R, 6)).astype(np.float32)
+        band = jnp.asarray(band_np)
+        x_cr = np.asarray(_solve_banded_spd(band, jnp.asarray(rhs), w))
+        # dense ground truth
+        x_dense = np.linalg.solve(
+            H.astype(np.float64),
+            rhs.transpose(0, 2, 1).reshape(6 * V, R).astype(np.float64),
+        ).reshape(V, 6, R).transpose(0, 2, 1)
+        scale = np.abs(x_dense).max() + 1e-9
+        np.testing.assert_allclose(x_cr / scale, x_dense / scale, atol=2e-4)
+        # and the scan path (kept as the validation oracle)
+        L = _banded_cholesky(band, w)
+        x_scan = np.asarray(_banded_solve(L, jnp.asarray(rhs), w))
+        np.testing.assert_allclose(x_cr / scale, x_scan / scale, atol=2e-4)
