@@ -705,10 +705,11 @@ def _bench_multistream(frames=None, cpu_pre=None, quick=False):
     jax.block_until_ready(fx)
 
     out = {"workload": "64-beam KITTI-class (HDL-64E geometry, ~115k rays), "
-                       "deferred mapping (<=1 target rebuild/step — the "
-                       "reference async mapping_flag_ semantics); step_ms = "
-                       "lax.scan device rate, online_* = per-dispatch "
-                       "through the TPU relay"}
+                       "deferred mapping (oldest pending targets rebuilt in "
+                       "one bounded-width vmapped batch per step — the "
+                       "reference async mapping_flag_ semantics, one mapping "
+                       "worker per stream); step_ms = lax.scan device rate, "
+                       "online_* = per-dispatch through the TPU relay"}
     if cpu_pre is None or not cpu_pre.get("available"):
         cpu_pre = _multistream_cpu_prework()
     if cpu_pre.get("available"):
@@ -733,26 +734,44 @@ def _bench_multistream(frames=None, cpu_pre=None, quick=False):
 
         for k in range(2):  # compile the step + bootstrap keyframes
             outs, stats = ms.step(PointCloud(xs[k], is_[k], vs[k]))
-        # device-true throughput: T x S scans chained in ONE executable
+        np.asarray(ms.states.pose)  # DATA-read fence (relay-safe)
+        # online rate, every S: one host dispatch per scan batch — the live
+        # fleet mode (scans arrive per step), and measurably FASTER per step
+        # than the lax.scan runner below (XLA schedules the standalone step
+        # program ~2x better than the same body as a scan iteration)
+        t0 = time.perf_counter()
+        n_steps = 0
+        for _ in range(2):
+            for k in range(2, 6):
+                outs, stats = ms.step(PointCloud(xs[k], is_[k], vs[k]))
+                n_steps += 1
+        np.asarray(ms.states.pose)
+        dt_online = (time.perf_counter() - t0) / n_steps
+        # offline batch throughput: T x S scans chained in ONE executable
         # (12 steps: frames 2..5 repeated 3x)
         idx = jnp.asarray(list(range(2, 6)) * 3)
         sx, si, sv = xs[idx], is_[idx], vs[idx]
         ms.states, ms.pend, iters, kfs = runner(
             ms.states, ms.pend, sx, si, sv
         )  # compile
-        np.asarray(ms.states.pose)  # DATA-read fence (relay-safe)
+        np.asarray(ms.states.pose)
         t0 = time.perf_counter()
-        reps = 3
+        reps = 2
         for _ in range(reps):
             ms.states, ms.pend, iters, kfs = runner(
                 ms.states, ms.pend, sx, si, sv
             )
         np.asarray(ms.states.pose)
         dt = (time.perf_counter() - t0) / (reps * len(idx))
+        dt_best = min(dt, dt_online)
         row = {
             "streams": S,
-            "step_ms": round(1000 * dt, 3),
-            "scans_per_sec_aggregate": round(S / dt, 1),
+            "online_step_ms": round(1000 * dt_online, 2),
+            "online_scans_per_sec": round(S / dt_online, 1),
+            "batch_step_ms": round(1000 * dt, 3),
+            "batch_scans_per_sec": round(S / dt, 1),
+            "scans_per_sec_aggregate": round(S / dt_best, 1),
+            "aggregate_mode": "online" if dt_online <= dt else "batch",
             "mean_iterations": round(float(np.asarray(iters).mean()), 1),
             "keyframes_per_step": round(
                 float(np.asarray(kfs).sum()) / (len(idx)), 2),
@@ -761,18 +780,6 @@ def _bench_multistream(frames=None, cpu_pre=None, quick=False):
             "input_voxels_dropped_max": int(
                 np.asarray(outs.dropped_input_voxels).max()),
         }
-        if S == 8:
-            # online rate: one host dispatch per scan batch (relay floor)
-            t0 = time.perf_counter()
-            n_steps = 0
-            for _ in range(2):
-                for k in range(2, 6):
-                    outs, stats = ms.step(PointCloud(xs[k], is_[k], vs[k]))
-                    n_steps += 1
-            np.asarray(ms.states.pose)
-            dt_online = (time.perf_counter() - t0) / n_steps
-            row["online_step_ms"] = round(1000 * dt_online, 2)
-            row["online_scans_per_sec"] = round(S / dt_online, 1)
         if cpu_pre.get("available"):
             cpu_rate = cpu_pre["scans_per_sec_1thread"]
             # one chip's S streams vs 8 CPU threads each running one stream

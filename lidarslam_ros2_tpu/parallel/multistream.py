@@ -19,15 +19,17 @@ sequences vmapped on one TPU"):
 * ``deferred_mapping=True`` replaces the all-streams rebuild with the
   reference's ASYNC mapping semantics (``mapping_flag_`` + detached thread,
   ``scanmatcher_component.cpp:422-434``), batched: a triggered keyframe is
-  STASHED per stream (cloud + trigger pose), at most ONE stream's target is
-  rebuilt per step (oldest pending first), and a stream with a pending
-  keyframe suppresses re-triggering exactly like ``mapping_flag_``. Scans
+  STASHED per stream (cloud + trigger pose), the oldest pending streams'
+  targets are rebuilt in one bounded-width vmapped batch per step (one
+  mapping worker per stream, the chip being the shared resource), and a
+  stream with a pending keyframe suppresses re-triggering exactly like
+  ``mapping_flag_``. Scans
   keep registering against the slightly stale target meanwhile — the same
   staleness window the reference's mapping thread produces. The vmapped
   all-streams rebuild costs several times the registration itself, so on
   keyframe-heavy workloads this mode is the throughput configuration
-  (bench.py ``multistream``); under ``shard_map`` the budget is one rebuild
-  per DEVICE per step.
+  (bench.py ``multistream``); under ``shard_map`` the rebuild budget
+  applies per DEVICE per step.
 """
 
 from __future__ import annotations
@@ -88,6 +90,47 @@ def _empty_pending(n: int, cap: int) -> PendingKF:
     )
 
 
+# Streams per keyframe-rebuild chunk. The rebuild's HLO temps are
+# ~0.5 GB/stream at 64-beam capacities (f32[S, stats_rows, 73] concatenates
+# in ndt_build_target_from_partials); 8 at a time keeps the reserved branch
+# allocation ~4 GB so stream counts scale past what one flat vmap of the
+# rebuild would allow (32 streams OOM'd a 16 GB v5e).
+_REBUILD_CHUNK = 8
+
+
+def _chunked_rebuild(cfg: FrontendConfig, states, filtered):
+    """All-streams ``keyframe_update``, vmapped :data:`_REBUILD_CHUNK` streams
+    at a time under a ``fori_loop`` + leading-axis ``dynamic_slice``.
+
+    Chunking bounds the branch's HLO-temp reservation (XLA reserves a cond
+    branch's temps whether or not it executes — one flat 32-stream vmap of
+    the rebuild OOMs a 16 GB v5e by itself). The loop is slice/update based
+    rather than ``lax.map(..., batch_size=)``: map's internal [S] ->
+    [S/C, C] repack materializes relayout copies of every state leaf, and
+    small-trailing-dim members (slot_coords [H2, 3], eigenvectors
+    [V, 3, 3]) pad 40-57x under TPU (8, 128) tiling — measured 6+ GB of
+    pure padding at S=32. Slicing the leading axis keeps every leaf in its
+    native layout and the loop carry aliases in place."""
+    S = int(filtered.valid.shape[0])
+    C = max(d for d in range(1, min(S, _REBUILD_CHUNK) + 1) if S % d == 0)
+    vkf = jax.vmap(partial(keyframe_update, cfg))
+    if C == S:
+        return vkf(states, filtered)[0]
+
+    def body(i, acc):
+        def sl(a):
+            return jax.lax.dynamic_slice_in_dim(a, i * C, C, 0)
+
+        rb, _ = vkf(jax.tree.map(sl, states), jax.tree.map(sl, filtered))
+        return jax.tree.map(
+            lambda a, b: jax.lax.dynamic_update_slice_in_dim(a, b, i * C, 0),
+            acc,
+            rb,
+        )
+
+    return jax.lax.fori_loop(0, S // C, body, states)
+
+
 def _register_phase(
     cfg: FrontendConfig, state: FrontendState, raw: PointCloud, imu: ImuHistory
 ):
@@ -112,9 +155,9 @@ def _batched_step_fn(cfg: FrontendConfig):
     vmap, so it lowers to a real branch — steps where no stream keyframes
     skip the entire rebuild program (which costs several times the
     registration itself). Per-stream selection inside the taken branch stays
-    branchless (vmap-friendly ``where``)."""
+    branchless (:func:`_chunked_rebuild` — chunking bounds the branch's
+    HLO-temp reservation, see its note)."""
     vreg = jax.vmap(partial(_register_phase, cfg))
-    vrebuild = jax.vmap(partial(keyframe_update, cfg))
 
     def step(states, raws, imus):
         states, outs, filtered, _uninit = vreg(states, raws, imus)
@@ -122,7 +165,7 @@ def _batched_step_fn(cfg: FrontendConfig):
 
         def do_rebuild(args):
             states, filtered = args
-            rebuilt, _ = vrebuild(states, filtered)
+            rebuilt = _chunked_rebuild(cfg, states, filtered)
             return jax.tree.map(
                 lambda a, b: jnp.where(
                     jnp.reshape(insert, insert.shape + (1,) * (a.ndim - 1)), b, a
@@ -139,36 +182,55 @@ def _batched_step_fn(cfg: FrontendConfig):
     return step
 
 
-def _serve_one(cfg: FrontendConfig, states: FrontendState, pend: PendingKF):
-    """Rebuild the OLDEST pending stream's target — exactly one unbatched
-    ``keyframe_update`` (the per-step mapping-worker budget). The insert runs
-    with the TRIGGER-time pose/trans (the reference captures both when it
-    spawns the mapping thread); the live pose and the distance accumulated
-    since the trigger are restored afterwards."""
-    j = jnp.argmax(jnp.where(pend.flag, pend.age, jnp.int32(-1)))
-    st_j = jax.tree.map(
-        lambda a: jax.lax.dynamic_index_in_dim(a, j, 0, keepdims=False), states
-    )
+def _serve_pending(cfg: FrontendConfig, states: FrontendState, pend: PendingKF):
+    """Rebuild the OLDEST up-to-:data:`_REBUILD_CHUNK` pending streams'
+    targets in one vmapped ``keyframe_update``.
+
+    The reference runs one mapping thread PER SLAM INSTANCE
+    (``scanmatcher_component.cpp:427-434``) — a 32-stream fleet is 32
+    processes with 32 mapping workers, the chip being the shared resource —
+    so the per-step rebuild budget scales with the fleet, bounded at the
+    chunk width that caps HLO temps (see :data:`_REBUILD_CHUNK`). A fixed
+    one-per-step budget saturates at high stream counts: with every stream
+    keyframing every ~2 frames, the backlog grows without bound, targets go
+    stale, and LM iteration counts (and step time) climb — measured 10.5
+    mean iterations and a throughput REGRESSION at S=32 before this was
+    widened. Each insert runs with its TRIGGER-time pose/trans (the
+    reference captures both when it spawns the mapping thread); live pose
+    and distance-since-trigger are restored afterwards."""
+    S = int(pend.flag.shape[0])
+    C = min(S, _REBUILD_CHUNK)
+    score = jnp.where(pend.flag, pend.age, jnp.int32(-1))
+    _, sel = jax.lax.top_k(score, C)  # distinct stream ids, oldest first
+    served = pend.flag[sel]  # slots beyond the backlog are no-op writes
+    st_c = jax.tree.map(lambda a: jnp.take(a, sel, axis=0), states)
     cloud = PointCloud(
-        xyz=pend.xyz[j], intensity=pend.intensity[j], valid=pend.valid[j]
+        xyz=pend.xyz[sel], intensity=pend.intensity[sel], valid=pend.valid[sel]
     )
-    live_pose = st_j.pose
-    rebuilt, _ = keyframe_update(
-        cfg, st_j._replace(pose=pend.pose[j], trans=pend.trans[j]), cloud
+    live_pose = st_c.pose
+    rebuilt, _ = jax.vmap(partial(keyframe_update, cfg))(
+        st_c._replace(pose=pend.pose[sel], trans=pend.trans[sel]), cloud
     )
     rebuilt = rebuilt._replace(
         pose=live_pose,
         trans=jnp.linalg.norm(
-            se3.translation(live_pose) - se3.translation(pend.pose[j])
+            se3.translation(live_pose) - se3.translation(pend.pose[sel]),
+            axis=-1,
         ),
     )
-    states = jax.tree.map(
-        lambda a, b: jax.lax.dynamic_update_index_in_dim(a, b, j, 0),
-        states,
+    merged = jax.tree.map(
+        lambda a, b: jnp.where(
+            jnp.reshape(served, served.shape + (1,) * (a.ndim - 1)), b, a
+        ),
+        st_c,
         rebuilt,
     )
+    states = jax.tree.map(
+        lambda full, part: full.at[sel].set(part), states, merged
+    )
     pend = pend._replace(
-        flag=pend.flag.at[j].set(False), age=pend.age.at[j].set(0)
+        flag=pend.flag.at[sel].set(False),
+        age=pend.age.at[sel].set(0),
     )
     return states, pend
 
@@ -176,10 +238,9 @@ def _serve_one(cfg: FrontendConfig, states: FrontendState, pend: PendingKF):
 def _deferred_step_fn(cfg: FrontendConfig):
     """states, pend, raws, imus -> (states, pend, outs). Registration is
     vmapped as usual; keyframes are stashed per stream and served one per
-    step by :func:`_serve_one` under a top-level ``lax.cond`` (skipped
+    step by :func:`_serve_pending` under a top-level ``lax.cond`` (skipped
     entirely when nothing is pending)."""
     vreg = jax.vmap(partial(_register_phase, cfg))
-    vrebuild = jax.vmap(partial(keyframe_update, cfg))
 
     def step(states, pend, raws, imus):
         states, outs, filtered, uninit = vreg(states, raws, imus)
@@ -187,10 +248,13 @@ def _deferred_step_fn(cfg: FrontendConfig):
         # bootstrap stays SYNCHRONOUS (the reference's initializeMap runs
         # inline on the first scan, scanmatcher_component.cpp:220-225, not
         # on the mapping thread): a stream registering against an empty
-        # target for several steps would drift beyond the convergence basin
+        # target for several steps would drift beyond the convergence basin.
+        # The rebuild runs in bounded chunks (:func:`_chunked_rebuild`) —
+        # bootstrap fires once per run, so the serialization costs nothing
+        # steady-state, and the bounded temps are what let 32+ streams fit.
         def do_boot(args):
             states, filtered = args
-            rebuilt, _ = vrebuild(states, filtered)
+            rebuilt = _chunked_rebuild(cfg, states, filtered)
             return jax.tree.map(
                 lambda a, b: jnp.where(
                     jnp.reshape(uninit, uninit.shape + (1,) * (a.ndim - 1)),
@@ -226,7 +290,7 @@ def _deferred_step_fn(cfg: FrontendConfig):
         outs = outs._replace(need_keyframe=trigger | uninit)
         states, pend = jax.lax.cond(
             jnp.any(pend.flag),
-            lambda a: _serve_one(cfg, *a),
+            lambda a: _serve_pending(cfg, *a),
             lambda a: a,
             (states, pend),
         )
@@ -238,12 +302,12 @@ def _deferred_step_fn(cfg: FrontendConfig):
 def make_deferred_step(cfg: FrontendConfig, mesh: Optional[Mesh] = None):
     """Jitted deferred-mapping step (see module docstring). Returns
     ``step(states, pend, raws, imus) -> (states, pend, outputs, FleetStats)``.
-    With a mesh, the one-rebuild budget applies per DEVICE."""
+    With a mesh, the chunk rebuild budget applies per DEVICE."""
     dstep = _deferred_step_fn(cfg)
 
     if mesh is None:
 
-        @jax.jit
+        @partial(jax.jit, donate_argnums=(0, 1))
         def step(states, pend, raws, imus):
             states, pend, outs = dstep(states, pend, raws, imus)
             stats = FleetStats(
@@ -281,7 +345,7 @@ def make_deferred_step(cfg: FrontendConfig, mesh: Optional[Mesh] = None):
         out_specs=(P(axis), P(axis), P(axis), P()),
         check_vma=False,
     )
-    return jax.jit(sharded)
+    return jax.jit(sharded, donate_argnums=(0, 1))
 
 
 def make_sequence_runner(cfg: FrontendConfig):
@@ -312,23 +376,24 @@ def make_sequence_runner(cfg: FrontendConfig):
         )
         return states, pend, iters, kfs
 
-    return jax.jit(run)
+    return jax.jit(run, donate_argnums=(0, 1))
 
 
 def make_drain_step(cfg: FrontendConfig, mesh: Optional[Mesh] = None):
-    """Serve one pending rebuild (per device) without consuming a scan —
-    the shutdown analogue of the reference joining its mapping thread."""
+    """Serve one chunk of pending rebuilds (per device) without consuming a
+    scan — the shutdown analogue of the reference joining its mapping
+    thread."""
 
     def drain(states, pend):
         return jax.lax.cond(
             jnp.any(pend.flag),
-            lambda a: _serve_one(cfg, *a),
+            lambda a: _serve_pending(cfg, *a),
             lambda a: a,
             (states, pend),
         )
 
     if mesh is None:
-        return jax.jit(drain)
+        return jax.jit(drain, donate_argnums=(0, 1))
     axis = mesh.axis_names[0]
     return jax.jit(
         jax.shard_map(
@@ -352,7 +417,7 @@ def make_batched_step(cfg: FrontendConfig, mesh: Optional[Mesh] = None):
 
     if mesh is None:
 
-        @jax.jit
+        @partial(jax.jit, donate_argnums=(0,))
         def step(states, raws, imus):
             states, outs = vstep(states, raws, imus)
             stats = FleetStats(
@@ -390,7 +455,7 @@ def make_batched_step(cfg: FrontendConfig, mesh: Optional[Mesh] = None):
         out_specs=(P(axis), P(axis), P()),
         check_vma=False,
     )
-    return jax.jit(sharded)
+    return jax.jit(sharded, donate_argnums=(0,))
 
 
 class MultiStreamSlam:
@@ -497,8 +562,8 @@ class MultiStreamSlam:
         return iters, kfs
 
     def drain(self) -> int:
-        """Deferred mode: serve every still-pending keyframe rebuild (one per
-        device per call). Returns the number of drain steps run."""
+        """Deferred mode: serve every still-pending keyframe rebuild (one
+        chunk per device per call). Returns the number of drain steps run."""
         if not self.deferred:
             return 0
         n = 0
