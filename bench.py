@@ -250,7 +250,12 @@ def _bench_full_slam(scans=None, quick=False):
         vg_size_for_input=0.2,
         vg_size_for_map=0.1,
         num_targeted_cloud=10,
-        scan_capacity=32768,
+        # 16384 right-sizes the VLP16 course (14,400 rays) AND matches
+        # long_course_setup()'s FrontendConfig exactly — the module-level
+        # jits key on the cfg value, so the long_course section reuses this
+        # section's live executables instead of paying its own ~100 s
+        # warmup of relay program loads (it was cap-timing-out on that)
+        scan_capacity=16384,
         input_capacity=16384,
         keyframe_capacity=16384,
     )
@@ -735,51 +740,69 @@ def _bench_multistream(frames=None, cpu_pre=None, quick=False):
         for k in range(2):  # compile the step + bootstrap keyframes
             outs, stats = ms.step(PointCloud(xs[k], is_[k], vs[k]))
         np.asarray(ms.states.pose)  # DATA-read fence (relay-safe)
+        # settle to steady state BEFORE timing: two unmeasured course laps
+        # mature every stream's keyframe ring and flush the bootstrap-era
+        # rebuild backlog, so the timed rows are comparable across stream
+        # counts (without this, larger S carries more unserved backlog into
+        # the timed region and the curve mixes transient rebuild churn with
+        # registration scaling). Settling reuses the step program — each
+        # extra program is a ~20 s relay executable load, the section's
+        # dominant cost, so the lax.scan runner is loaded ONLY at S=8.
+        for _ in range(2):
+            for k in range(2, 6):
+                outs, stats = ms.step(PointCloud(xs[k], is_[k], vs[k]))
+        np.asarray(ms.states.pose)
         # online rate, every S: one host dispatch per scan batch — the live
         # fleet mode (scans arrive per step), and measurably FASTER per step
-        # than the lax.scan runner below (XLA schedules the standalone step
+        # than the lax.scan runner (XLA schedules the standalone step
         # program ~2x better than the same body as a scan iteration)
         t0 = time.perf_counter()
         n_steps = 0
+        stats_log = []  # device scalars; fetched AFTER the timed region
         for _ in range(2):
             for k in range(2, 6):
                 outs, stats = ms.step(PointCloud(xs[k], is_[k], vs[k]))
                 n_steps += 1
+                stats_log.append(stats)
         np.asarray(ms.states.pose)
         dt_online = (time.perf_counter() - t0) / n_steps
-        # offline batch throughput: T x S scans chained in ONE executable
-        # (12 steps: frames 2..5 repeated 3x)
-        idx = jnp.asarray(list(range(2, 6)) * 3)
-        sx, si, sv = xs[idx], is_[idx], vs[idx]
-        ms.states, ms.pend, iters, kfs = runner(
-            ms.states, ms.pend, sx, si, sv
-        )  # compile
-        np.asarray(ms.states.pose)
-        t0 = time.perf_counter()
-        reps = 2
-        for _ in range(reps):
-            ms.states, ms.pend, iters, kfs = runner(
-                ms.states, ms.pend, sx, si, sv
-            )
-        np.asarray(ms.states.pose)
-        dt = (time.perf_counter() - t0) / (reps * len(idx))
-        dt_best = min(dt, dt_online)
+        kf_count = sum(float(np.asarray(s.total_keyframes)) for s in stats_log)
+        it_sum = sum(float(np.asarray(s.mean_iterations)) for s in stats_log)
         row = {
             "streams": S,
             "online_step_ms": round(1000 * dt_online, 2),
             "online_scans_per_sec": round(S / dt_online, 1),
-            "batch_step_ms": round(1000 * dt, 3),
-            "batch_scans_per_sec": round(S / dt, 1),
-            "scans_per_sec_aggregate": round(S / dt_best, 1),
-            "aggregate_mode": "online" if dt_online <= dt else "batch",
-            "mean_iterations": round(float(np.asarray(iters).mean()), 1),
-            "keyframes_per_step": round(
-                float(np.asarray(kfs).sum()) / (len(idx)), 2),
+            "scans_per_sec_aggregate": round(S / dt_online, 1),
+            "aggregate_mode": "online",
+            "mean_iterations": round(it_sum / max(n_steps, 1), 1),
+            "keyframes_per_step": round(kf_count / max(n_steps, 1), 2),
+        }
+        if S == 8:
+            # offline batch throughput at the base stream count: 12 steps
+            # (frames 2..5 x3) chained in ONE lax.scan executable
+            idx = jnp.asarray(list(range(2, 6)) * 3)
+            sx, si, sv = xs[idx], is_[idx], vs[idx]
+            ms.states, ms.pend, iters, kfs = runner(
+                ms.states, ms.pend, sx, si, sv
+            )  # compile/load
+            np.asarray(ms.states.pose)
+            t0 = time.perf_counter()
+            ms.states, ms.pend, iters, kfs = runner(
+                ms.states, ms.pend, sx, si, sv
+            )
+            np.asarray(ms.states.pose)
+            dt = (time.perf_counter() - t0) / len(idx)
+            row["batch_step_ms"] = round(1000 * dt, 3)
+            row["batch_scans_per_sec"] = round(S / dt, 1)
+            if dt < dt_online:
+                row["scans_per_sec_aggregate"] = round(S / dt, 1)
+                row["aggregate_mode"] = "batch"
+        row.update({
             "keyframe_voxels_dropped_max": int(
                 np.asarray(ms.states.last_kf_dropped).max()),
             "input_voxels_dropped_max": int(
                 np.asarray(outs.dropped_input_voxels).max()),
-        }
+        })
         if cpu_pre.get("available"):
             cpu_rate = cpu_pre["scans_per_sec_1thread"]
             # one chip's S streams vs 8 CPU threads each running one stream
@@ -790,7 +813,7 @@ def _bench_multistream(frames=None, cpu_pre=None, quick=False):
         if best is None or (row["scans_per_sec_aggregate"]
                             > best["scans_per_sec_aggregate"]):
             best = row
-        del ms, runner, xs, is_, vs, sx, si, sv
+        del ms, runner, xs, is_, vs
       except Exception as e:  # noqa: E722 — record and keep the curve
         curve.append({"streams": S,
                       "error": f"{type(e).__name__}: {str(e)[:200]}"})
@@ -1026,7 +1049,7 @@ def main():
             ("multistream",
              lambda q: _bench_multistream(pre.get("multistream"),
                                           pre.get("multistream_cpu"),
-                                          quick=q), 110),
+                                          quick=q), 180),
             ("gicp", lambda q: _bench_gicp(window, source, guess), 25),
             ("pose_graph_solve", lambda q: _bench_pose_graph_solve(quick=q),
              60),

@@ -384,10 +384,16 @@ class GraphBasedSlam:
 
     def _register(self, target: PointCloud, source: PointCloud):
         cfg = self.cfg
-        guess = jnp.eye(4, dtype=jnp.float32)  # identity guess (:229-230)
         if cfg.registration_method == "NDT":
             tgt = reg.ndt_build_target(cfg.ndt, target)
-            return reg.ndt_align(cfg.ndt, tgt, source, guess)
+            return self._align_chunked(
+                lambda g, mi: reg.ndt_align(cfg.ndt, tgt, source, g, mi),
+                cfg.ndt.max_iterations,
+                # a coarse pyramid (config extension) runs per align call —
+                # chunked restarts would re-run it from the refined pose, so
+                # chunking applies only to the plain single-level config
+                chunkable=not cfg.ndt.coarse_resolutions,
+            )
         tgt = reg.gicp_build_target(cfg.gicp, target)
         src_cov = source_covariances(
             source,
@@ -397,4 +403,39 @@ class GraphBasedSlam:
             cfg.gicp.plane_epsilon,
             cfg.gicp.source_cov_neighborhood,
         )
-        return reg.gicp_align(cfg.gicp, tgt, source, src_cov, guess)
+        return self._align_chunked(
+            lambda g, mi: reg.gicp_align(cfg.gicp, tgt, source, src_cov, g, mi),
+            cfg.gicp.max_iterations,
+        )
+
+    def _align_chunked(self, align, max_iterations, chunk=25, chunkable=True):
+        """Run the 100-iteration loop registration as short dispatches with
+        host-side convergence checks between them.
+
+        The backend shares ONE TPU core with the frontend: a single
+        100-iteration align is a ~200 ms uninterruptible device program, and
+        every scan registration dispatched while it runs queues behind it —
+        measured as the full-SLAM p99 (the two loop-closure scans are
+        exactly the p99 tail at 97 scans). Chunking lets frontend work
+        interleave between ~8 ms device programs; the iteration cap is a
+        runtime operand (``models/registration.py ndt_align``), so every
+        chunk reuses the one compiled program (warmup stays valid) and the
+        convergence criterion is unchanged — only LM's damping-lambda resets
+        at chunk seams (same epsilon, same cap). The reference overlaps its
+        backend align with the frontend on separate CPU cores
+        (graph_based_slam_component.cpp:124-128 timer thread); this is the
+        single-accelerator equivalent."""
+        guess = jnp.eye(4, dtype=jnp.float32)  # identity guess (:229-230)
+        if not chunkable:
+            return align(guess, jnp.int32(max_iterations))
+        total = 0
+        while True:
+            mi = min(chunk, max_iterations - total)
+            result = align(guess, jnp.int32(mi))
+            it = int(result.iterations)
+            total += it
+            # stop on convergence, the global cap, or an early LM abort
+            # (lambda blowup ends the while_loop before the chunk cap)
+            if bool(result.converged) or total >= max_iterations or it < mi:
+                return result._replace(iterations=jnp.int32(total))
+            guess = result.T
