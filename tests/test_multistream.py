@@ -205,3 +205,49 @@ def test_multistream_run_sequence_matches_step_loop():
     assert kfs.shape == (5, n)
     assert int(np.asarray(kfs).sum()) == kf_loop
     np.testing.assert_allclose(ms_seq.poses(), ms_loop.poses(), atol=1e-5)
+
+
+def test_serve_chunk_oldest_first(monkeypatch):
+    """When more streams pend than the per-step rebuild budget, the serve
+    takes the OLDEST pending chunk, clears exactly those flags, and the
+    rest land on later steps — the fleet analogue of the reference's
+    one-mapping-worker-per-instance semantics (no pending is lost)."""
+    from lidarslam_ros2_tpu.parallel import multistream as msmod
+
+    monkeypatch.setattr(msmod, "_REBUILD_CHUNK", 1)
+    world = World(seed=9)
+    n = 4
+    offsets = [np.array([2.0 * k, 0.0, 1.5], dtype=np.float32) for k in range(n)]
+    init = []
+    for off in offsets:
+        T = np.eye(4, dtype=np.float32)
+        T[:3, 3] = off
+        init.append(T)
+    ms = MultiStreamSlam(
+        _tiny_cfg(), n, initial_poses=np.stack(init), deferred_mapping=True
+    )
+    flag_hist = []
+    for t in range(10):
+        poses = []
+        for off in offsets:
+            T = np.eye(4, dtype=np.float32)
+            T[:3, 3] = off + [0.3 * t, 0.0, 0.0]
+            poses.append(T)
+        outs, stats = ms.step(_scan_batch(world, poses, t))
+        flag_hist.append(np.asarray(ms.pend.flag).copy())
+    # the 0.3 m/step course triggers all 4 streams in the same step; with a
+    # 1-wide serve the end-of-step snapshots must show a backlog (>1
+    # pending) that drains by exactly one per step rather than piling up
+    counts = [int(f.sum()) for f in flag_hist]
+    peak = max(counts)
+    assert peak > 1, counts
+    i = counts.index(peak)
+    for j in range(1, peak):
+        assert i + j < len(counts) and counts[i + j] == peak - j, counts
+    ms.drain()
+    assert not bool(np.asarray(ms.pend.flag).any())
+    # every stream still tracks its course despite the staggered serves
+    est = ms.poses()
+    for k in range(n):
+        expect = offsets[k] + [0.3 * 9, 0.0, 0.0]
+        assert np.linalg.norm(est[k][:3, 3] - expect) < 0.25, (k, est[k][:3, 3])
