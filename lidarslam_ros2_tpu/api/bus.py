@@ -38,6 +38,41 @@ class Bus:
         return self._latched.get(topic)
 
 
+class DeviceGate:
+    """Cooperative device-priority gate for a single shared accelerator.
+
+    The reference overlaps its backend loop registration with the scan path
+    on separate CPU cores (MultiThreadedExecutor + loop timer thread,
+    lidarslam/src/lidarslam.cpp:12, graph_based_slam_component.cpp:124-128) —
+    the hardware arbitrates. On one TPU the two engines share a single
+    in-order device queue, so a backend program dispatched mid-scan queues
+    AHEAD of the scan's registration fetch and lands straight in the
+    latency tail (measured: full-SLAM p99 was exactly the two loop-closure
+    scans, each waiting ~180 ms behind backend align chunks).
+
+    Protocol: the scan path brackets each scan callback with
+    :meth:`busy`/:meth:`idle`; background engines call :meth:`wait_idle`
+    before EVERY device dispatch. ``wait_idle`` returns after ``timeout``
+    even if the scan path never goes idle, so a saturated (non-paced,
+    offline) frontend delays the backend by at most ``timeout`` per
+    dispatch — priority inversion is bounded, starvation impossible.
+    """
+
+    def __init__(self, timeout: float = 0.25):
+        self._idle = threading.Event()
+        self._idle.set()
+        self.timeout = timeout
+
+    def busy(self) -> None:
+        self._idle.clear()
+
+    def idle(self) -> None:
+        self._idle.set()
+
+    def wait_idle(self) -> None:
+        self._idle.wait(self.timeout)
+
+
 class SensorQueue:
     """Best-effort sensor-data QoS between a producer thread (paced replay /
     live driver) and the SLAM consumer thread.

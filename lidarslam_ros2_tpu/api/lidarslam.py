@@ -18,7 +18,7 @@ import numpy as np
 
 from ..graph.backend import BackendConfig
 from ..odometry.frontend import FrontendConfig
-from .bus import Bus
+from .bus import Bus, DeviceGate
 from .graph_based_slam_node import GraphBasedSlamNode
 from .scan_matcher_node import ScanMatcherNode
 
@@ -40,16 +40,24 @@ class LidarSlam:
         overlap (graph_based_slam_component.cpp:124-128). Call :meth:`finish`
         (or :meth:`run`, which does) before reading final results."""
         self.bus = Bus()
+        # scan-priority arbitration of the ONE shared accelerator: the async
+        # backend defers each device dispatch to a frontend-idle window so a
+        # loop closure never lands in the scan-latency tail (bus.DeviceGate;
+        # the reference gets the same isolation from separate CPU cores)
+        self.device_gate = DeviceGate() if async_backend else None
         self.scan_matcher = ScanMatcherNode(
             self.bus,
             frontend_cfg,
             set_initial_pose=set_initial_pose,
             initial_pose=initial_pose,
+            device_gate=self.device_gate,
             **frontend_node_kw,
         )
         self.graph_based_slam = GraphBasedSlamNode(
             self.bus, backend_cfg, async_mode=async_backend
         )
+        if self.device_gate is not None:
+            self.graph_based_slam.engine.yield_gate = self.device_gate.wait_idle
 
     def warmup(self, max_keyframes: int = 128) -> dict:
         """Pre-compile every XLA program the pipeline can dispatch (frontend

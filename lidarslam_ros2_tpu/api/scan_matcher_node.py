@@ -42,6 +42,7 @@ class ScanMatcherNode:
         debug_flag: bool = False,
         tf_buffer: Optional[TransformBuffer] = None,
         use_modified_map: bool = False,
+        device_gate=None,
     ):
         self.bus = bus
         self.cfg = cfg
@@ -55,6 +56,13 @@ class ScanMatcherNode:
         self.engine = ScanMatcher(cfg)
         self._initial_pose_received = False
         self._last_map_time: Optional[float] = None
+        # scan-priority gate on the shared accelerator (api/bus.py
+        # DeviceGate): busy for the span of each scan callback so background
+        # engines (backend loop registration, the engine's own mapping
+        # worker) defer their device dispatches/pulls
+        self.device_gate = device_gate
+        if device_gate is not None:
+            self.engine.yield_gate = device_gate.wait_idle
 
         if set_initial_pose:
             pose = initial_pose if initial_pose is not None else np.eye(4, dtype=np.float32)
@@ -108,6 +116,15 @@ class ScanMatcherNode:
     def _on_cloud(self, msg: dict) -> None:
         """msg: {"points": (N,3|4), "stamp": float,
         "frame_id": sensor frame (optional), "odom": 4x4|None}"""
+        if self.device_gate is None:
+            return self._handle_cloud(msg)
+        self.device_gate.busy()
+        try:
+            return self._handle_cloud(msg)
+        finally:
+            self.device_gate.idle()
+
+    def _handle_cloud(self, msg: dict) -> None:
         if not self._initial_pose_received:
             print("initial_pose is not received")
             return

@@ -128,6 +128,16 @@ class GraphBasedSlam:
         self._prefetch_pool = ThreadPoolExecutor(
             max_workers=1, thread_name_prefix="graph_precompile"
         )
+        # optional scan-priority hook (api/bus.py DeviceGate.wait_idle):
+        # called before every device dispatch so backend programs never
+        # queue ahead of an in-flight scan registration on the shared
+        # accelerator — the single-TPU equivalent of the reference's
+        # separate-core overlap (graph_based_slam_component.cpp:124-128)
+        self.yield_gate: Optional[callable] = None
+
+    def _yield(self) -> None:
+        if self.yield_gate is not None:
+            self.yield_gate()
 
     # -- precompilation --------------------------------------------------------
     def warmup(self, max_keyframes: int = 128) -> float:
@@ -264,6 +274,7 @@ class GraphBasedSlam:
 
         # source: latest submap cloud in the map frame (:168-181)
         src_world = self._submap_world_cloud(latest)
+        self._yield()  # H2D upload defers to an in-flight scan
         source = PointCloud.from_numpy(src_world, cfg.source_capacity)
 
         # target: neighborhood window around the candidate (:208-227)
@@ -287,6 +298,7 @@ class GraphBasedSlam:
                 0, len(tgt_pts) - 1, cfg.window_capacity
             ).astype(np.int64)
             tgt_pts = tgt_pts[idx]
+        self._yield()
         tgt = voxel_downsample(
             PointCloud.from_numpy(tgt_pts, cfg.window_capacity),
             cfg.voxel_leaf_size,
@@ -324,6 +336,7 @@ class GraphBasedSlam:
             else np.zeros((0, 4, 4), np.float32)
         )
         with self.timer.stage("pose_graph_solve"):
+            self._yield()
             graph = build_graph(
                 poses, cfg.num_adjacent_pose_cnstraints, loop_pairs, loop_rel
             )
@@ -384,6 +397,7 @@ class GraphBasedSlam:
 
     def _register(self, target: PointCloud, source: PointCloud):
         cfg = self.cfg
+        self._yield()  # target build is a full device program
         if cfg.registration_method == "NDT":
             tgt = reg.ndt_build_target(cfg.ndt, target)
             return self._align_chunked(
@@ -427,10 +441,12 @@ class GraphBasedSlam:
         single-accelerator equivalent."""
         guess = jnp.eye(4, dtype=jnp.float32)  # identity guess (:229-230)
         if not chunkable:
+            self._yield()
             return align(guess, jnp.int32(max_iterations))
         total = 0
         while True:
             mi = min(chunk, max_iterations - total)
+            self._yield()  # each chunk waits for a frontend-idle window
             result = align(guess, jnp.int32(mi))
             it = int(result.iterations)
             total += it

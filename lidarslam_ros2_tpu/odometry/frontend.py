@@ -341,6 +341,59 @@ def keyframe_update(
     return build_target_from_ring(cfg, state), kf_cloud
 
 
+def _mapping_pack(cfg: FrontendConfig, state: FrontendState,
+                  kf_cloud: PointCloud) -> jnp.ndarray:
+    """Flatten every host-bound keyframe output — the LOCAL submap cloud,
+    travel distance, and the six overflow counters — into ONE f32 buffer
+    ([5n+7]), so the mapping worker pulls a single device array. A pytree
+    ``device_get`` issues one relay transfer PER LEAF (~30 ms each on a
+    remote-attached TPU); the 10-leaf pull occupied the shared relay channel
+    for ~150 ms per keyframe and put the next scan's register fetch in the
+    latency tail. Counters are exact in f32 (values bounded by capacities
+    << 2^24)."""
+    if cfg.registration_method == "NDT":
+        tgt = state.target.ndt
+        n_dropped = tgt.stats.n_dropped
+        fat_dropped = tgt.n_fat_dropped
+    else:
+        tgt = state.target.dist
+        n_dropped = tgt.n_dropped
+        fat_dropped = tgt.n_fat_dropped
+    counters = jnp.stack(
+        [state.last_kf_dropped, n_dropped, tgt.table.n_unplaced,
+         fat_dropped, tgt.fat_table.n_unplaced, state.last_kf_stats_dropped]
+    ).astype(jnp.float32)
+    return jnp.concatenate([
+        kf_cloud.xyz.reshape(-1),
+        kf_cloud.intensity,
+        kf_cloud.valid.astype(jnp.float32),
+        jnp.reshape(state.latest_distance, (1,)),
+        counters,
+    ])
+
+
+def _unpack_mapping(buf: np.ndarray):
+    """Host-side inverse of :func:`_mapping_pack`: (valid-only (M,4) xyzi
+    cloud, travel distance, 6 overflow counters)."""
+    n = (buf.shape[0] - 7) // 5
+    xyz = buf[: 3 * n].reshape(n, 3)
+    inten = buf[3 * n: 4 * n]
+    valid = buf[4 * n: 5 * n] > 0.5
+    cloud = np.concatenate([xyz[valid], inten[valid, None]], axis=1)
+    return cloud, float(buf[5 * n]), tuple(int(c) for c in buf[5 * n + 1:])
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def keyframe_update_packed(
+    cfg: FrontendConfig, state: FrontendState, filtered_raw: PointCloud
+) -> Tuple[FrontendState, jnp.ndarray]:
+    """:func:`keyframe_update` with the host-bound outputs packed into one
+    fetchable buffer — the scan path's dispatch variant (multistream's
+    vmapped rebuild keeps the plain two-output form)."""
+    state, kf_cloud = keyframe_update(cfg, state, filtered_raw)
+    return state, _mapping_pack(cfg, state, kf_cloud)
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def rebuild_stats_ring(cfg: FrontendConfig, state: FrontendState) -> FrontendState:
     """Recompute every slot's world-frame voxel-moment tables from its LOCAL
@@ -425,6 +478,17 @@ class ScanMatcher:
         # under debug_flag, scanmatcher_component.cpp:351-354); read via
         # ``timer.summary()`` — tools/slam.py surfaces it in summary.json
         self.timer = StageTimer()
+        # optional scan-priority hook (api/bus.py DeviceGate.wait_idle): the
+        # mapping worker's device pull defers to a scan-idle window so its
+        # relay round-trip never delays an in-flight register fetch
+        self.yield_gate = None
+
+    def _yield(self) -> None:
+        # only meaningful for the async worker; the synchronous map update
+        # runs ON the scan thread while the gate is busy — yielding there
+        # would just burn the gate timeout per keyframe
+        if self.yield_gate is not None and self.cfg.async_map_update:
+            self.yield_gate()
 
     # -- precompilation ------------------------------------------------------
     def warmup(self) -> float:
@@ -444,7 +508,7 @@ class ScanMatcher:
         _, state2, out = frontend_step(
             cfg, state, raw, imu_hist, odom, jnp.asarray(False)
         )
-        state3, kf_cloud = keyframe_update(cfg, state, filtered)
+        state3, pack = keyframe_update_packed(cfg, state, filtered)
         # li_slam-style feedback path (adopt_correction)
         state4 = build_target_from_ring(cfg, rebuild_stats_ring(cfg, state))
         jax.block_until_ready((out, state2.pose, state3.pose, state4.pose))
@@ -453,9 +517,8 @@ class ScanMatcher:
         # measured at 30-330 s (one-time tunnel setup) — absorbing it here
         # instead of on scan 0's map-array copy is the difference between a
         # real-time first scan and a 30+ second stall
-        kf_cloud.to_numpy()
+        _unpack_mapping(np.asarray(pack))
         jax.device_get(out)
-        self._target_overflow(state3)
         return time.perf_counter() - t0
 
     # -- inputs -------------------------------------------------------------
@@ -548,9 +611,11 @@ class ScanMatcher:
             # mapping thread here, :427-434, guarded by !mapping_flag_;
             # while one is in flight, further keyframe triggers are skipped)
             with self.timer.stage("keyframe_dispatch"), trace("keyframe_update"):
-                pend, kf_cloud = keyframe_update(cfg, self.state, filtered_raw)
+                pend, pack = keyframe_update_packed(
+                    cfg, self.state, filtered_raw
+                )
                 fut = self._mapping_pool.submit(
-                    self._prefetch_mapping, pend, kf_cloud
+                    self._prefetch_mapping, pend, pack
                 )
                 self._pending = (pend, stamp, pose_np, fut)
             result["keyframe"] = True
@@ -563,19 +628,29 @@ class ScanMatcher:
                 self.overflow_max[k] = v
         return result
 
-    def _prefetch_mapping(self, pend: FrontendState, kf_cloud: PointCloud):
+    def _prefetch_mapping(self, pend: FrontendState, pack: jnp.ndarray):
         """Mapping-worker half of the integration (runs on the pool thread,
         like the reference's updateMap thread): wait for the device to finish
         the rebuild, then pull everything the host will need — the submap
         cloud (returned by the keyframe_update program itself: slicing the
         device ring here would compile a tiny per-slot XLA program, seconds
         each over a remote relay), travel distance, and overflow counters —
-        so adoption on the scan path never touches the device."""
-        cloud_np = kf_cloud.to_numpy()
-        distance = float(pend.latest_distance)
-        overflow = self._target_overflow(pend)
-        jax.block_until_ready(jax.tree.leaves(pend.target))
-        return cloud_np, distance, overflow
+        so adoption on the scan path never touches the device.
+
+        Everything comes back in ONE single-buffer transfer (the
+        ``keyframe_update_packed`` output), deferred to a scan-idle window:
+        the relay channel is shared with the scan thread's register fetch,
+        and the previous shape of this pull (to_numpy's three array reads +
+        a scalar float + the counter get — one relay round-trip per leaf)
+        occupied it for ~150-250 ms per keyframe, measured directly as the
+        full-SLAM register_fetch tail."""
+        self._yield()
+        with self.timer.stage("map_rebuild_fetch"):
+            buf = np.asarray(pack)  # one ~320 KB relay transfer; completes
+            # only after the rebuild program itself has run
+            jax.block_until_ready(jax.tree.leaves(pend.target))
+        cloud_np, distance, counters = _unpack_mapping(buf)
+        return cloud_np, distance, self._overflow_dict(counters)
 
     def _poll_map_update(self, block: bool) -> bool:
         """Adopt the rebuilt state if the mapping worker finished (the
@@ -622,9 +697,9 @@ class ScanMatcher:
         """Stop the mapping worker (any in-flight integration completes)."""
         self._mapping_pool.shutdown(wait=True)
 
-    def _target_overflow(self, state: FrontendState) -> dict:
-        """Fetch the target-model overflow counters after a keyframe update
-        (one batched device->host transfer)."""
+    def _target_overflow_leaves(self, state: FrontendState) -> tuple:
+        """Device-side target-model overflow counters (fetch with
+        :meth:`_overflow_dict`, or batched with other pulls)."""
         if self.cfg.registration_method == "NDT":
             tgt = state.target.ndt
             n_dropped = tgt.stats.n_dropped
@@ -633,11 +708,20 @@ class ScanMatcher:
             tgt = state.target.dist
             n_dropped = tgt.n_dropped
             fat_dropped = tgt.n_fat_dropped
-        kf_d, tgt_d, hash_u, fat_d, fat_u, kfs_d = jax.device_get(
-            (state.last_kf_dropped, n_dropped, tgt.table.n_unplaced,
-             fat_dropped, tgt.fat_table.n_unplaced,
-             state.last_kf_stats_dropped)
+        return (state.last_kf_dropped, n_dropped, tgt.table.n_unplaced,
+                fat_dropped, tgt.fat_table.n_unplaced,
+                state.last_kf_stats_dropped)
+
+    def _target_overflow(self, state: FrontendState) -> dict:
+        """Fetch the target-model overflow counters after a keyframe update
+        (one batched device->host transfer)."""
+        return self._overflow_dict(
+            jax.device_get(self._target_overflow_leaves(state))
         )
+
+    @staticmethod
+    def _overflow_dict(counters) -> dict:
+        kf_d, tgt_d, hash_u, fat_d, fat_u, kfs_d = counters
         return {
             "keyframe_voxels_dropped": int(kf_d),
             "target_voxels_dropped": int(tgt_d),
@@ -713,14 +797,17 @@ class ScanMatcher:
         """First scan: seed submap #0 + initial target
         (reference initializeMap, :262-294)."""
         self.state = self._empty_state()
-        self.state, kf_cloud = keyframe_update(self.cfg, self.state, filtered_raw)
+        self.state, pack = keyframe_update_packed(
+            self.cfg, self.state, filtered_raw
+        )
+        cloud_np, distance, _ = _unpack_mapping(np.asarray(pack))
         # initializeMap does not advance previous_position/latest_distance
         self.map_array.append(
             SubMap(
                 stamp=stamp,
                 pose=np.asarray(self.state.pose).astype(np.float32),
-                distance=float(self.state.latest_distance),
-                cloud=kf_cloud.to_numpy(),
+                distance=distance,
+                cloud=cloud_np,
             )
         )
 

@@ -102,20 +102,36 @@ def eigh3(A: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     w = jnp.stack([w0, w1, w2], axis=-1)
 
     # eigenvector for the best-separated extremal eigenvalue first (rank-2
-    # row space — the cross-product method is robust there), then the other
-    # extremal orthogonalized against it, middle by cross product
+    # row space — the cross-product method is robust there). The OTHER
+    # extremal is computed in the 2D subspace orthogonal to it (Eberly's
+    # method): running the cross-product trick again at wb collapses when
+    # the remaining two eigenvalues nearly coincide (both rows of A - wb I
+    # are near-null, their cross product ~gap^2 drowns in f32 noise —
+    # measured up to 90 deg normal error on line-like point neighborhoods,
+    # the GICP plane-normal sensitivity PARITY.md flags). The projected
+    # 2x2 symmetric eigenproblem is exact closed form and conditioned by
+    # gap^1, not gap^2.
     hi_separated = (w2 - w1) >= (w1 - w0)
     wa = jnp.where(hi_separated, w2, w0)
     wb = jnp.where(hi_separated, w0, w2)
     va = _unit_eigenvector(A, wa)
-    vb_raw = _unit_eigenvector(A, wb)
-    # remove any va component (repeated-eigenvalue contamination)
-    vb = vb_raw - jnp.sum(vb_raw * va, axis=-1, keepdims=True) * va
-    nb = jnp.sum(vb * vb, axis=-1, keepdims=True)
+    u = _orthonormal_to(va)
+    t = _cross(va, u)
+    Au = jnp.einsum("...ij,...j->...i", A, u)
+    At = jnp.einsum("...ij,...j->...i", A, t)
+    b00 = jnp.sum(u * Au, axis=-1)
+    b01 = jnp.sum(u * At, axis=-1)
+    b11 = jnp.sum(t * At, axis=-1)
+    # closed-form 2x2 symmetric eigenvectors: rotation by theta diagonalizes
+    half = 0.5 * jnp.arctan2(2.0 * b01, b00 - b11)
+    c, s = jnp.cos(half), jnp.sin(half)
+    lam_c = b00 * c * c + 2.0 * b01 * c * s + b11 * s * s
+    lam_s = b00 * s * s - 2.0 * b01 * c * s + b11 * c * c
+    take_c = (jnp.abs(lam_c - wb) <= jnp.abs(lam_s - wb))[..., None]
     vb = jnp.where(
-        nb > 1e-24,
-        vb / jnp.sqrt(jnp.maximum(nb, 1e-38)),
-        _orthonormal_to(va),
+        take_c,
+        c[..., None] * u + s[..., None] * t,
+        -s[..., None] * u + c[..., None] * t,
     )
     vm = _cross(va, vb)
     v0 = jnp.where(hi_separated[..., None], vb, va)

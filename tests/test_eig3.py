@@ -70,3 +70,41 @@ def test_near_degenerate_pair():
         w = np.array([1.0, 1.0 + 10 ** rng.uniform(-6, -2), 4.0])
         out.append(q @ np.diag(w) @ q.T)
     _check(np.stack(out).astype(np.float32))
+
+
+def test_line_neighborhood_smallest_eigenvector():
+    """Line-like covariances (two small, nearly-equal eigenvalues — sparse
+    LiDAR neighborhoods on poles/edges): the smallest eigenvector must track
+    the f64 answer. The old second cross-product pass collapsed here (cross
+    of two near-null rows ~gap^2, drowned by f32 noise — up to 90 deg
+    error); the projected 2x2 eigenproblem is conditioned by gap^1. Ties at
+    f64 precision are excluded (eigenvalue ORDER within an exactly-degenerate
+    pair is arbitrary on every platform)."""
+    rng = np.random.default_rng(7)
+    N, k = 4096, 12
+    pts = rng.normal(size=(N, k, 3)) * np.array([1.0, 0.03, 0.01])
+    q = rng.normal(size=(N, 4))
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    w_, x, y, z = q.T
+    R = np.stack(
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w_ * z), 2 * (x * z + w_ * y),
+         2 * (x * y + w_ * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w_ * x),
+         2 * (x * z - w_ * y), 2 * (y * z + w_ * x), 1 - 2 * (x * x + y * y)],
+        axis=1,
+    ).reshape(N, 3, 3)
+    pts = pts @ R.transpose(0, 2, 1)
+    m = pts.mean(1, keepdims=True)
+    C = (np.einsum("nki,nkj->nij", pts - m, pts - m) / k).astype(np.float32)
+
+    w64, V64 = np.linalg.eigh(C.astype(np.float64))
+    w32, V32 = eigh3(jnp.asarray(C))
+    V32 = np.asarray(V32)
+    dot = np.abs(np.sum(V32[..., 0] * V64[..., 0], -1)).clip(0.0, 1.0)
+    ang = np.degrees(np.arccos(dot))
+    # exclude genuine f64-level ties (arbitrary ordering inside the pair)
+    gap = (w64[:, 1] - w64[:, 0]) / np.maximum(w64[:, 2], 1e-30)
+    well_posed = gap > 1e-5
+    assert well_posed.sum() > 0.9 * N
+    assert np.percentile(ang[well_posed], 99) < 0.5, (
+        f"p99 normal error {np.percentile(ang[well_posed], 99):.3f} deg"
+    )
